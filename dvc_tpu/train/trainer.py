@@ -1,0 +1,194 @@
+"""Training loop: jitted step, optimizer, LR schedule, checkpoints.
+
+Reference: ``train.py:32-317``.  Adam/AdamW + epoch-level MultiStepLR
+(``train.py:122-129``), global-norm gradient clipping, scheduled-sampling
+probability ramp (``train.py:152-156``), best/last checkpointing with an
+``info.json`` carrying the full option dict and score histories
+(``train.py:222-295``).
+
+TPU design: one compiled train step (forward incl. Hungarian matching +
+backward + Adam update); the learning rate is a step input so MultiStepLR
+does not retrigger compilation; batches are sharded over the mesh's data
+axis, so the same step runs 1-chip or N-chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import PDVC, PDVCConfig, build_weight_dict
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+
+def multistep_lr(opt, epoch: int) -> float:
+    """MultiStepLR(milestones=start + every*k, gamma) (reference train.py:128)."""
+    start = opt.learning_rate_decay_start
+    every = opt.learning_rate_decay_every
+    gamma = opt.learning_rate_decay_rate
+    n_milestones = int((opt.epoch - start) / every) if every > 0 else 0
+    milestones = [start + every * k for k in range(max(n_milestones, 0))]
+    passed = sum(1 for m in milestones if epoch >= m)
+    return opt.lr * (gamma ** passed)
+
+
+def ss_prob_for_epoch(opt, epoch: int) -> float:
+    """Scheduled-sampling ramp (reference train.py:152-156)."""
+    if opt.scheduled_sampling_start >= 0 and epoch > opt.scheduled_sampling_start:
+        frac = ((epoch - opt.scheduled_sampling_start)
+                // opt.scheduled_sampling_increase_every)
+        return min(opt.basic_ss_prob
+                   + opt.scheduled_sampling_increase_prob * frac,
+                   opt.scheduled_sampling_max_prob)
+    return 0.0
+
+
+def make_optimizer(opt):
+    if opt.optimizer_type == 'adamw':
+        base = optax.adamw(1.0, weight_decay=opt.weight_decay)
+    else:
+        base = optax.adam(1.0)
+        if opt.weight_decay:
+            base = optax.chain(
+                optax.add_decayed_weights(opt.weight_decay), base)
+    # lr is injected per step via scale-by-schedule on a state-free scalar
+    return optax.chain(optax.clip_by_global_norm(opt.grad_clip), base)
+
+
+class Trainer:
+    def __init__(self, opt, mesh=None):
+        self.opt = opt
+        self.cfg = PDVCConfig.from_opt(opt)
+        self.model = PDVC(self.cfg)
+        self.weight_dict = build_weight_dict(opt)
+        self.tx = make_optimizer(opt)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_data=getattr(opt, 'tpu_mesh_data', 1))
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(partial(self.model.apply, eval_mode=True))
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch, seed=0):
+        rngs = {'params': jax.random.PRNGKey(seed),
+                'dropout': jax.random.PRNGKey(seed + 1),
+                'sample': jax.random.PRNGKey(seed + 2)}
+        params = self.model.init(rngs, example_batch, eval_mode=False)
+        opt_state = self.tx.init(params)
+        params = replicate_tree(params, self.mesh)
+        opt_state = replicate_tree(opt_state, self.mesh)
+        return {'params': params, 'opt_state': opt_state, 'step': 0}
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, params, opt_state, batch, lr, ss_prob, rng):
+        r_drop, r_samp = jax.random.split(rng)
+
+        def loss_fn(p):
+            out, losses = self.model.apply(
+                p, batch, eval_mode=False, ss_prob=ss_prob,
+                rngs={'dropout': r_drop, 'sample': r_samp})
+            total = sum(losses[k] * w for k, w in self.weight_dict.items()
+                        if k in losses and w)
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        # base optimizer runs at lr=1; scale here so MultiStepLR changes
+        # don't retrigger compilation
+        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        losses['total_loss'] = total
+        return params, opt_state, losses
+
+    # ------------------------------------------------------------------
+    def train_step(self, state, batch, lr, ss_prob, rng):
+        batch = shard_batch(batch, self.mesh)
+        params, opt_state, losses = self._train_step(
+            state['params'], state['opt_state'], batch,
+            jnp.float32(lr), jnp.float32(ss_prob), rng)
+        state = {'params': params, 'opt_state': opt_state,
+                 'step': state['step'] + 1}
+        return state, losses
+
+    def eval_step(self, state, batch):
+        batch = shard_batch(batch, self.mesh)
+        return self._eval_step(state['params'], batch)
+
+
+# ----------------------------------------------------------------------
+# checkpointing (reference train.py:225-234 / info.json semantics)
+# ----------------------------------------------------------------------
+
+def save_checkpoint(save_dir: str, tag: str, state: dict, epoch: int,
+                    extra: dict | None = None):
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f'model-{tag}.ckpt')
+    payload = {
+        'epoch': epoch,
+        'params': jax.tree_util.tree_map(np.asarray, state['params']),
+        'opt_state': jax.tree_util.tree_map(np.asarray, state['opt_state']),
+        'step': state['step'],
+    }
+    if extra:
+        payload.update(extra)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str):
+    with open(path, 'rb') as f:
+        payload = pickle.load(f)
+    return payload
+
+
+ENCODER_KEYS = ('base_encoder', 'encoder_layer_', 'level_embed', 'input_proj')
+
+
+def is_encoder_param(path_str: str) -> bool:
+    """Name-filter rule for encoder/decoder partial restore
+    (reference pdvc.py:103-108)."""
+    return any(k in path_str for k in ENCODER_KEYS)
+
+
+def filtered_restore(params, ckpt_params, which: str):
+    """which in {'full', 'encoder', 'decoder'} (reference train.py:101-118)."""
+    if which == 'full':
+        return ckpt_params
+    flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ck = dict(jax.tree_util.tree_flatten_with_path(ckpt_params)[0])
+    out = []
+    for path, val in flat_new:
+        ps = '/'.join(str(p) for p in path)
+        take = is_encoder_param(ps) if which == 'encoder' else \
+            not is_encoder_param(ps)
+        src = flat_ck.get(path)
+        out.append(jnp.asarray(src) if (take and src is not None) else val)
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def save_info_json(save_dir: str, info: dict):
+    path = os.path.join(save_dir, 'info.json')
+    with open(path, 'w') as f:
+        json.dump(info, f, indent=1, default=str)
+
+
+def load_info_json(save_dir: str):
+    path = os.path.join(save_dir, 'info.json')
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
