@@ -1,0 +1,512 @@
+"""Caption scorers — pure-Python BLEU / CIDEr / ROUGE-L / METEOR.
+
+The reference evaluates through pycocoevalcap, whose METEOR and tokenizer
+shell out to java jars (``densevid_eval3/pycocoevalcap/meteor/meteor.py:12-24``,
+``tokenizer/ptbtokenizer.py:17-18``) that are external artifacts not shipped
+with the repo.  This module re-implements the published algorithms natively:
+
+* BLEU: Papineni et al. 2002, coco-caption conventions ("closest" reference
+  length, tiny-epsilon smoothing on the per-instance scores).
+* CIDEr: Vedantam et al. 2015 (n-gram TF-IDF, df from the gts of the call).
+* ROUGE-L: Lin 2004, beta = 1.2 (coco-caption convention).
+* METEOR: Denkowski & Lavie 2014 formulation with exact + Porter-stem
+  matchers and the Meteor-1.5 'en' parameters (alpha=.85, beta=.2, gamma=.6,
+  delta=.75, stem weight .6, content/function-word distinction).  This is a
+  faithful re-implementation of the algorithm but without the paraphrase
+  table, so absolute values differ slightly from the jar; if a
+  ``meteor-1.5.jar`` is available set ``DVC_METEOR_JAR`` and it is used
+  instead (score-parity mode).
+
+All scorers share the pycocoevalcap interface:
+``compute_score(gts, res) -> (corpus_score, per_instance_scores)`` where
+gts/res map id -> [sentence, ...].
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter, defaultdict
+
+# ---------------------------------------------------------------------------
+# PTB-style tokenizer (replaces the Stanford CoreNLP jar)
+# ---------------------------------------------------------------------------
+
+_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+          ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z0-9]+)?|[^\sa-z0-9]")
+
+
+def ptb_tokenize(caption: str) -> str:
+    """Lowercase, split off punctuation, drop PTB punctuation tokens
+    (mirrors the PTBTokenizer post-filtering, ``ptbtokenizer.py``)."""
+    toks = _TOKEN_RE.findall(caption.lower())
+    return ' '.join(t for t in toks if t not in _PUNCT)
+
+
+def tokenize_dict(caps: dict) -> dict:
+    """{id: [{'caption': str}, ...]} -> {id: [tokenized str, ...]}
+    (the pycocoevalcap tokenizer interface used by the eval stack)."""
+    return {k: [ptb_tokenize(c['caption']) for c in v]
+            for k, v in caps.items()}
+
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+def _ngram_counts(tokens, n):
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def bleu_compute_score(gts, res, n_max=4):
+    """Corpus BLEU-1..4 + per-instance scores (coco-caption conventions)."""
+    small = 1e-9
+    tiny = 1e-15
+    total_clip = [0] * n_max
+    total_count = [0] * n_max
+    ref_len_total = 0
+    test_len_total = 0
+    per_instance = [[] for _ in range(n_max)]
+
+    for key in gts:
+        hyp = res[key][0].split()
+        refs = [r.split() for r in gts[key]]
+        hlen = len(hyp)
+        # closest reference length
+        rlen = min((abs(len(r) - hlen), len(r)) for r in refs)[1] if refs else 0
+        ref_len_total += rlen
+        test_len_total += hlen
+        inst_clip, inst_count = [], []
+        for n in range(1, n_max + 1):
+            h_counts = _ngram_counts(hyp, n)
+            max_ref = Counter()
+            for r in refs:
+                for ng, c in _ngram_counts(r, n).items():
+                    max_ref[ng] = max(max_ref[ng], c)
+            clip = sum(min(c, max_ref[ng]) for ng, c in h_counts.items())
+            count = max(len(hyp) - n + 1, 0)
+            total_clip[n - 1] += clip
+            total_count[n - 1] += count
+            inst_clip.append(clip)
+            inst_count.append(count)
+        # per-instance score with tiny smoothing, own brevity penalty
+        bp_i = 1.0 if hlen >= rlen else (
+            math.exp(1 - rlen / (hlen + tiny)) if hlen > 0 else 0.0)
+        p_cum = 1.0
+        for n in range(n_max):
+            p_n = (inst_clip[n] + tiny) / (inst_count[n] + small)
+            p_cum *= p_n
+            per_instance[n].append((p_cum ** (1.0 / (n + 1))) * bp_i)
+
+    bp = 1.0 if test_len_total >= ref_len_total else (
+        math.exp(1 - ref_len_total / (test_len_total + tiny))
+        if test_len_total > 0 else 0.0)
+    scores = []
+    p_cum = 1.0
+    for n in range(n_max):
+        p_n = (total_clip[n] + tiny) / (total_count[n] + small)
+        p_cum *= p_n
+        scores.append((p_cum ** (1.0 / (n + 1))) * bp)
+    return scores, per_instance
+
+
+# ---------------------------------------------------------------------------
+# CIDEr
+# ---------------------------------------------------------------------------
+
+def cider_compute_score(gts, res, n_max=4, sigma=6.0):
+    """CIDEr-D style scoring as in coco-caption (df over this call's gts)."""
+    keys = list(gts.keys())
+    doc_freq = [defaultdict(int) for _ in range(n_max)]
+    for key in keys:
+        for n in range(n_max):
+            seen = set()
+            for ref in gts[key]:
+                seen |= set(_ngram_counts(ref.split(), n + 1).keys())
+            for ng in seen:
+                doc_freq[n][ng] += 1
+    log_ref = math.log(max(len(keys), 1))
+
+    def tfidf_vec(tokens):
+        vecs, norms = [], []
+        length = len(tokens)
+        for n in range(n_max):
+            counts = _ngram_counts(tokens, n + 1)
+            vec = {}
+            norm = 0.0
+            for ng, c in counts.items():
+                df = math.log(max(doc_freq[n][ng], 1.0))
+                w = c * (log_ref - df)
+                vec[ng] = w
+                norm += w * w
+            vecs.append(vec)
+            norms.append(math.sqrt(norm))
+        return vecs, norms, length
+
+    def sim(v_h, n_h, l_h, v_r, n_r, l_r):
+        delta = l_h - l_r
+        s = []
+        for n in range(n_max):
+            num = 0.0
+            for ng, w in v_h[n].items():
+                num += min(w, v_r[n].get(ng, 0.0)) * v_r[n].get(ng, 0.0)
+            denom = n_h[n] * n_r[n]
+            val = num / denom if denom > 0 else 0.0
+            val *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            s.append(val)
+        return s
+
+    per_instance = []
+    for key in keys:
+        v_h, n_h, l_h = tfidf_vec(res[key][0].split())
+        score_n = [0.0] * n_max
+        for ref in gts[key]:
+            v_r, n_r, l_r = tfidf_vec(ref.split())
+            s = sim(v_h, n_h, l_h, v_r, n_r, l_r)
+            for n in range(n_max):
+                score_n[n] += s[n]
+        n_refs = max(len(gts[key]), 1)
+        score = 10.0 * sum(score_n) / n_max / n_refs
+        per_instance.append(score)
+    mean = sum(per_instance) / len(per_instance) if per_instance else 0.0
+    return mean, per_instance
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L
+# ---------------------------------------------------------------------------
+
+def _lcs_len(a, b):
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[lb]
+
+
+def rouge_l_compute_score(gts, res, beta=1.2):
+    per_instance = []
+    for key in gts:
+        hyp = res[key][0].split()
+        best = 0.0
+        for ref in gts[key]:
+            r_toks = ref.split()
+            lcs = _lcs_len(hyp, r_toks)
+            p = lcs / len(hyp) if hyp else 0.0
+            r = lcs / len(r_toks) if r_toks else 0.0
+            if p > 0 and r > 0:
+                f = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
+            else:
+                f = 0.0
+            best = max(best, f)
+        per_instance.append(best)
+    mean = sum(per_instance) / len(per_instance) if per_instance else 0.0
+    return mean, per_instance
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (standard algorithm, for the METEOR stem matcher)
+# ---------------------------------------------------------------------------
+
+_VOWELS = 'aeiou'
+
+
+def _is_cons(word, i):
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == 'y':
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem):
+    m = 0
+    prev_c = None
+    for i in range(len(stem)):
+        c = _is_cons(stem, i)
+        if prev_c is True and c is False:
+            pass
+        if prev_c is False and c is True:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem):
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word):
+    return (len(word) >= 2 and word[-1] == word[-2]
+            and _is_cons(word, len(word) - 1))
+
+
+def _cvc(word):
+    if len(word) < 3:
+        return False
+    if (_is_cons(word, len(word) - 3) and not _is_cons(word, len(word) - 2)
+            and _is_cons(word, len(word) - 1)):
+        return word[-1] not in 'wxy'
+    return False
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+    # step 1a
+    if w.endswith('sses'):
+        w = w[:-2]
+    elif w.endswith('ies'):
+        w = w[:-2]
+    elif w.endswith('ss'):
+        pass
+    elif w.endswith('s'):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith('eed'):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith('ed'):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+    elif w.endswith('ing'):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+    if flag:
+        if w.endswith(('at', 'bl', 'iz')):
+            w += 'e'
+        elif _ends_double_cons(w) and not w.endswith(('l', 's', 'z')):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += 'e'
+    # step 1c
+    if w.endswith('y') and _has_vowel(w[:-1]):
+        w = w[:-1] + 'i'
+    # step 2
+    for suf, rep in (('ational', 'ate'), ('tional', 'tion'), ('enci', 'ence'),
+                     ('anci', 'ance'), ('izer', 'ize'), ('abli', 'able'),
+                     ('alli', 'al'), ('entli', 'ent'), ('eli', 'e'),
+                     ('ousli', 'ous'), ('ization', 'ize'), ('ation', 'ate'),
+                     ('ator', 'ate'), ('alism', 'al'), ('iveness', 'ive'),
+                     ('fulness', 'ful'), ('ousness', 'ous'), ('aliti', 'al'),
+                     ('iviti', 'ive'), ('biliti', 'ble')):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (('icate', 'ic'), ('ative', ''), ('alize', 'al'),
+                     ('iciti', 'ic'), ('ical', 'ic'), ('ful', ''),
+                     ('ness', '')):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 4
+    for suf in ('al', 'ance', 'ence', 'er', 'ic', 'able', 'ible', 'ant',
+                'ement', 'ment', 'ent', 'ou', 'ism', 'ate', 'iti', 'ous',
+                'ive', 'ize'):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 1:
+                w = w[:-len(suf)]
+            break
+    else:
+        if w.endswith('ion') and len(w) > 3 and w[-4] in 'st':
+            if _measure(w[:-3]) > 1:
+                w = w[:-3]
+    # step 5a
+    if w.endswith('e'):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith('l'):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# METEOR
+# ---------------------------------------------------------------------------
+
+_FUNCTION_WORDS = set('''a an the of to in on at by for with from as is are
+was were be been being am do does did have has had will would can could may
+might shall should must it its this that these those he she they them his her
+their there here and or but if then than so not no nor own same such only
+very s t just don now d ll m o re ve y about into over after before between
+under again further once all any both each few more most other some'''.split())
+
+_M_ALPHA, _M_BETA, _M_GAMMA, _M_DELTA = 0.85, 0.2, 0.6, 0.75
+_STEM_WEIGHT = 0.6
+
+
+def _meteor_align(hyp, ref):
+    """Greedy two-stage alignment: exact matches then stem matches, each
+    preferring the alignment that minimizes crossing (approximated by
+    left-to-right matching).  Returns list of (hyp_i, ref_j, weight)."""
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+    matches = []
+    # exact
+    for i, hw in enumerate(hyp):
+        for j, rw in enumerate(ref):
+            if not used_r[j] and hw == rw:
+                matches.append((i, j, 1.0))
+                used_h[i] = True
+                used_r[j] = True
+                break
+    # stem
+    hyp_stem = [porter_stem(w) for w in hyp]
+    ref_stem = [porter_stem(w) for w in ref]
+    for i, hs in enumerate(hyp_stem):
+        if used_h[i]:
+            continue
+        for j, rs in enumerate(ref_stem):
+            if not used_r[j] and hs == rs:
+                matches.append((i, j, _STEM_WEIGHT))
+                used_h[i] = True
+                used_r[j] = True
+                break
+    return sorted(matches)
+
+
+def _meteor_sentence(hyp_toks, ref_toks):
+    if not hyp_toks or not ref_toks:
+        return 0.0
+    matches = _meteor_align(hyp_toks, ref_toks)
+    if not matches:
+        return 0.0
+
+    def weighted_count(toks, idxs_weights):
+        content = fn = 0.0
+        for i, w in idxs_weights:
+            if toks[i] in _FUNCTION_WORDS:
+                fn += w
+            else:
+                content += w
+        return content, fn
+
+    def totals(toks):
+        c = sum(1 for t in toks if t not in _FUNCTION_WORDS)
+        return c, len(toks) - c
+
+    h_c, h_f = weighted_count(hyp_toks, [(i, w) for i, _, w in matches])
+    r_c, r_f = weighted_count(ref_toks, [(j, w) for _, j, w in matches])
+    th_c, th_f = totals(hyp_toks)
+    tr_c, tr_f = totals(ref_toks)
+    d = _M_DELTA
+    p_den = d * th_c + (1 - d) * th_f
+    r_den = d * tr_c + (1 - d) * tr_f
+    P = (d * h_c + (1 - d) * h_f) / p_den if p_den > 0 else 0.0
+    R = (d * r_c + (1 - d) * r_f) / r_den if r_den > 0 else 0.0
+    if P <= 0 or R <= 0:
+        return 0.0
+    f_mean = P * R / (_M_ALPHA * P + (1 - _M_ALPHA) * R)
+
+    # fragmentation: count chunks of contiguous, order-preserving matches
+    chunks = 1
+    for k in range(1, len(matches)):
+        i0, j0, _ = matches[k - 1]
+        i1, j1, _ = matches[k]
+        if not (i1 == i0 + 1 and j1 == j0 + 1):
+            chunks += 1
+    frag = chunks / len(matches)
+    penalty = _M_GAMMA * (frag ** _M_BETA) if len(matches) > 0 else 0.0
+    return f_mean * (1.0 - penalty)
+
+
+def meteor_compute_score(gts, res):
+    jar = os.environ.get('DVC_METEOR_JAR')
+    if jar and os.path.exists(jar):
+        return _meteor_jar_compute_score(gts, res, jar)
+    per_instance = []
+    for key in gts:
+        hyp = res[key][0].split()
+        best = max((_meteor_sentence(hyp, ref.split())
+                    for ref in gts[key]), default=0.0)
+        per_instance.append(best)
+    mean = sum(per_instance) / len(per_instance) if per_instance else 0.0
+    return mean, per_instance
+
+
+def _meteor_jar_compute_score(gts, res, jar):
+    """Score-parity mode through the official meteor-1.5 jar
+    (same protocol as ``pycocoevalcap/meteor/meteor.py``)."""
+    import subprocess
+    keys = list(gts.keys())
+    proc = subprocess.Popen(
+        ['java', '-jar', '-Xmx2G', jar, '-', '-', '-stdio', '-l', 'en',
+         '-norm'],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+    for key in keys:
+        refs = '|||'.join(gts[key])
+        proc.stdin.write(' ||| '.join(('SCORE', refs, res[key][0])) + '\n')
+    proc.stdin.flush()
+    stats = [proc.stdout.readline().strip() for _ in keys]
+    for s in stats:
+        proc.stdin.write('EVAL ||| ' + s + '\n')
+    proc.stdin.flush()
+    per_instance = [float(proc.stdout.readline().strip()) for _ in keys]
+    final = sum(per_instance) / len(per_instance) if per_instance else 0.0
+    proc.stdin.close()
+    proc.wait()
+    return final, per_instance
+
+
+# ---------------------------------------------------------------------------
+# pycocoevalcap-style scorer objects
+# ---------------------------------------------------------------------------
+
+class Bleu:
+    def __init__(self, n=4):
+        self.n = n
+
+    def method(self):
+        return 'Bleu'
+
+    def compute_score(self, gts, res):
+        gts_s = {k: list(v) for k, v in gts.items()}
+        res_s = {k: list(v) for k, v in res.items()}
+        return bleu_compute_score(gts_s, res_s, self.n)
+
+
+class Meteor:
+    def method(self):
+        return 'METEOR'
+
+    def compute_score(self, gts, res):
+        return meteor_compute_score(gts, res)
+
+
+class Rouge:
+    def method(self):
+        return 'ROUGE_L'
+
+    def compute_score(self, gts, res):
+        return rouge_l_compute_score(gts, res)
+
+
+class Cider:
+    def method(self):
+        return 'CIDEr'
+
+    def compute_score(self, gts, res):
+        return cider_compute_score(gts, res)

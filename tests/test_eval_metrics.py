@@ -1,0 +1,215 @@
+"""Evaluation-stack tests: scorers, SODA DP vs brute force, protocols."""
+import itertools
+import json
+
+import numpy as np
+import pytest
+
+from dvc_tpu.eval import (Bleu, Cider, Meteor, Rouge, chased_dp_assignment,
+                          eval_dvc, eval_metrics, eval_para, eval_soda,
+                          iou_1d, porter_stem, ptb_tokenize, reranking)
+
+
+# ---------------------------------------------------------------- scorers
+def test_ptb_tokenize():
+    assert ptb_tokenize("A man is Cooking, with oil.") == 'a man is cooking with oil'
+    assert ptb_tokenize("it's hot!") == "it's hot"
+
+
+def test_porter_stem():
+    cases = {'caresses': 'caress', 'ponies': 'poni', 'cats': 'cat',
+             'feed': 'feed', 'agreed': 'agre', 'plastered': 'plaster',
+             'motoring': 'motor', 'sing': 'sing', 'conflated': 'conflat',
+             'happy': 'happi', 'relational': 'relat'}
+    for w, s in cases.items():
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+
+
+def test_bleu_perfect_match():
+    gts = {0: ['the cat sat on the mat']}
+    res = {0: ['the cat sat on the mat']}
+    score, _ = Bleu(4).compute_score(gts, res)
+    assert all(abs(s - 1.0) < 1e-6 for s in score)
+
+
+def test_bleu_orders():
+    gts = {0: ['the cat sat on the mat'], 1: ['a dog runs fast']}
+    res = {0: ['the cat sat on a mat'], 1: ['dog runs']}
+    score, per = Bleu(4).compute_score(gts, res)
+    assert 0 < score[0] <= 1
+    assert score[3] <= score[0] + 1e-9
+    assert len(per[0]) == 2
+
+
+def test_meteor_monotonic():
+    gts = {0: ['add the chopped onion to the hot pan']}
+    perfect, _ = Meteor().compute_score(gts, {0: ['add the chopped onion to the hot pan']})
+    partial, _ = Meteor().compute_score(gts, {0: ['add the onion']})
+    junk, _ = Meteor().compute_score(gts, {0: ['zebra quantum flux']})
+    assert perfect > partial > junk
+    assert junk == 0.0
+    # METEOR 1.5's fragmentation penalty bounds even identical sentences:
+    # 1 - gamma * (1/m)^beta = 1 - 0.6 * (1/8)^0.2 ~= 0.60 for m=8 matches
+    assert 0.55 < perfect < 0.75
+
+
+def test_meteor_stem_matching():
+    # 'chopping' vs 'chopped' only match via stemming
+    gts = {0: ['chopped onions']}
+    s_stem, _ = Meteor().compute_score(gts, {0: ['chopping onions']})
+    s_none, _ = Meteor().compute_score(gts, {0: ['warm water']})
+    assert s_stem > s_none
+
+
+def test_rouge_and_cider():
+    gts = {0: ['the cat sat on the mat'], 1: ['a dog runs fast']}
+    res = {0: ['the cat sat on the mat'], 1: ['a dog walks slowly']}
+    r, per_r = Rouge().compute_score(gts, res)
+    assert per_r[0] == pytest.approx(1.0)
+    c, per_c = Cider().compute_score(gts, res)
+    assert per_c[0] > per_c[1]
+
+
+# ---------------------------------------------------------------- SODA DP
+def brute_force_assignment(scores):
+    """Max-sum monotonic matching by exhaustive search."""
+    M, N = scores.shape
+    best = 0.0
+    rows = list(range(M))
+    cols = list(range(N))
+    for k in range(0, min(M, N) + 1):
+        for rs in itertools.combinations(rows, k):
+            for cs in itertools.combinations(cols, k):
+                best = max(best, sum(scores[i, j] for i, j in zip(rs, cs)))
+    return best
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_chased_dp_vs_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    scores = rng.uniform(0, 1, (4, 5))
+    got, pairs = chased_dp_assignment(scores)
+    want = brute_force_assignment(scores)
+    assert got == pytest.approx(want, abs=1e-9)
+    # pairs must be strictly monotonic
+    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+        assert i1 > i0 and j1 > j0
+
+
+# ------------------------------------------------------------- protocols
+@pytest.fixture()
+def gt_and_pred(tmp_path):
+    gt = {
+        'v_test0001': {
+            'duration': 60.0,
+            'timestamps': [[0, 10], [20, 35], [40, 55]],
+            'sentences': ['add oil to the pan', 'chop the onions',
+                          'stir the mixture'],
+        },
+        'v_test0002': {
+            'duration': 30.0,
+            'timestamps': [[0, 15], [15, 30]],
+            'sentences': ['boil the water', 'add the pasta'],
+        },
+    }
+    gt_path = tmp_path / 'gt.json'
+    with open(gt_path, 'w') as f:
+        json.dump(gt, f)
+    pred = {'results': {
+        'v_test0001': [
+            {'timestamp': [0.5, 9.5], 'sentence': 'add oil to the pan',
+             'proposal_score': 0.9, 'sentence_score': -0.5,
+             'query_id': 0, 'pred_event_count': 3},
+            {'timestamp': [21, 34], 'sentence': 'chop the onions',
+             'proposal_score': 0.8, 'sentence_score': -0.7,
+             'query_id': 1, 'pred_event_count': 3},
+            {'timestamp': [41, 54], 'sentence': 'stir the mixture',
+             'proposal_score': 0.7, 'sentence_score': -0.4,
+             'query_id': 2, 'pred_event_count': 3},
+        ],
+        'v_test0002': [
+            {'timestamp': [1, 14], 'sentence': 'boil the water',
+             'proposal_score': 0.9, 'sentence_score': -0.3,
+             'query_id': 0, 'pred_event_count': 2},
+            {'timestamp': [16, 29], 'sentence': 'add the pasta',
+             'proposal_score': 0.85, 'sentence_score': -0.2,
+             'query_id': 1, 'pred_event_count': 2},
+        ],
+    }}
+    pred_path = tmp_path / 'pred.json'
+    with open(pred_path, 'w') as f:
+        json.dump(pred, f)
+    # paragraph gt
+    para = {k: ' '.join(v['sentences']) for k, v in gt.items()}
+    para_path = tmp_path / 'para.json'
+    with open(para_path, 'w') as f:
+        json.dump(para, f)
+    return str(gt_path), str(pred_path), str(para_path)
+
+
+def test_eval_dvc_perfect(gt_and_pred):
+    gt_path, pred_path, _ = gt_and_pred
+    scores = eval_dvc(pred_path, [gt_path], verbose=True)
+    # near-perfect predictions: recall/precision 1 at low tIoU
+    assert scores['Recall'][0] == pytest.approx(1.0)
+    assert scores['Precision'][0] == pytest.approx(1.0)
+    assert scores['METEOR'][0] > 0.5
+    assert scores['CIDEr'][0] > 1.0
+
+
+def test_eval_dvc_garbage_predictions(gt_and_pred, tmp_path):
+    gt_path, _, _ = gt_and_pred
+    bad = {'results': {'v_test0001': [
+        {'timestamp': [55, 60], 'sentence': 'nonsense words here',
+         'proposal_score': 0.5, 'sentence_score': -2.0, 'query_id': 0,
+         'pred_event_count': 1}],
+        'v_test0002': [
+        {'timestamp': [29, 30], 'sentence': 'more junk',
+         'proposal_score': 0.5, 'sentence_score': -2.0, 'query_id': 0,
+         'pred_event_count': 1}]}}
+    p = tmp_path / 'bad.json'
+    with open(p, 'w') as f:
+        json.dump(bad, f)
+    scores = eval_dvc(str(p), [gt_path], verbose=True)
+    assert scores['METEOR'][0] < 0.05
+    assert scores['Recall'][-1] == 0.0
+
+
+def test_eval_soda(gt_and_pred):
+    gt_path, pred_path, _ = gt_and_pred
+    out = eval_soda(pred_path, [gt_path])
+    # per-pair ceiling is IoU (~0.85) x METEOR-with-frag-penalty (~0.6)
+    assert 0.3 < out['soda_c'] <= 1.0
+
+
+def test_eval_para(gt_and_pred):
+    gt_path, pred_path, para_path = gt_and_pred
+    out = eval_para(pred_path, [para_path])
+    assert out['para_METEOR'] > 0.5
+    assert out['para_Bleu_4'] > 0.5
+
+
+def test_eval_metrics_aggregate(gt_and_pred):
+    gt_path, pred_path, para_path = gt_and_pred
+    scores = eval_metrics(pred_path, [gt_path], [para_path], rerank=False)
+    for k in ['METEOR', 'soda_c', 'para_METEOR', 'Recall', 'Precision']:
+        assert k in scores
+    assert scores['METEOR'] > 0.3  # mean over tIoUs
+
+
+def test_reranking(gt_and_pred, tmp_path):
+    gt_path, pred_path, _ = gt_and_pred
+    out = reranking(pred_path, alpha=0.3, temperature=2.0)
+    with open(out) as f:
+        d = json.load(f)
+    v = d['results']['v_test0001']
+    assert len(v) == 3  # pred_event_count
+    # sorted by time after rerank
+    starts = [p['timestamp'][0] for p in v]
+    assert starts == sorted(starts)
+
+
+def test_iou_1d():
+    assert iou_1d([0, 10], [0, 10]) == pytest.approx(1.0, abs=1e-6)
+    assert iou_1d([0, 10], [5, 15]) == pytest.approx(1 / 3, abs=1e-3)
+    assert iou_1d([0, 10], [20, 30]) == 0.0
