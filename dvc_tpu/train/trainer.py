@@ -64,11 +64,36 @@ def make_optimizer(opt):
     return optax.chain(optax.clip_by_global_norm(opt.grad_clip), base)
 
 
+def ensure_cpu_backend():
+    """Expose the host CPU platform next to the TPU one (for fast eager
+    init); must run before any JAX backend is initialized."""
+    try:
+        platforms = os.environ.get('JAX_PLATFORMS', '')
+        if platforms and 'cpu' not in platforms:
+            jax.config.update('jax_platforms', platforms + ',cpu')
+    except Exception:
+        pass
+
+
+def enable_compilation_cache(path: str = None):
+    """Persistent XLA compilation cache — first run warms it, later runs
+    (e.g. the driver's bench invocation) skip the multi-minute compiles of
+    the full train step on the remote-compile TPU path."""
+    path = path or os.environ.get('DVC_JAX_CACHE',
+                                  os.path.expanduser('~/.dvc_tpu_jax_cache'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+    except Exception:
+        pass
+
+
 class Trainer:
-    def __init__(self, opt, mesh=None):
+    def __init__(self, opt, mesh=None, model=None):
         self.opt = opt
+        enable_compilation_cache()
         self.cfg = PDVCConfig.from_opt(opt)
-        self.model = PDVC(self.cfg)
+        self.model = model if model is not None else PDVC(self.cfg)
         self.weight_dict = build_weight_dict(opt)
         self.tx = make_optimizer(opt)
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -78,11 +103,39 @@ class Trainer:
         self._eval_step = jax.jit(partial(self.model.apply, eval_mode=True))
 
     # ------------------------------------------------------------------
+    def _init_twin(self):
+        """Same model with the XLA-portable deformable-attention impl —
+        parameters are identical across impls, so a CPU init of the twin
+        yields valid params for the Pallas model."""
+        import dataclasses
+        cfg2 = dataclasses.replace(self.cfg, msda_impl='dense')
+        from ..models.fusion import FusionPDVC
+        if isinstance(self.model, FusionPDVC):
+            return FusionPDVC(cfg2, fusion_dim=self.model.fusion_dim,
+                              fusion_heads=self.model.fusion_heads)
+        if isinstance(self.model, PDVC):
+            return PDVC(cfg2)
+        return self.model
+
     def init_state(self, example_batch, seed=0):
         rngs = {'params': jax.random.PRNGKey(seed),
                 'dropout': jax.random.PRNGKey(seed + 1),
                 'sample': jax.random.PRNGKey(seed + 2)}
-        params = self.model.init(rngs, example_batch, eval_mode=False)
+        # initialize on the host CPU backend when available: init is a
+        # one-shot eager trace whose many small programs are pathologically
+        # slow through a remote-compile TPU tunnel
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != 'cpu':
+            cpu_batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), cpu), example_batch)
+            with jax.default_device(cpu):
+                params = self._init_twin().init(rngs, cpu_batch,
+                                                eval_mode=False)
+        else:
+            params = self.model.init(rngs, example_batch, eval_mode=False)
         opt_state = self.tx.init(params)
         params = replicate_tree(params, self.mesh)
         opt_state = replicate_tree(opt_state, self.mesh)

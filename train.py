@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Feature-mode training driver (reference ``train.py:32-317``).
+
+    python train.py --cfg_path cfgs/yc2_tsp_pdvc.yml
+
+Per epoch: scheduled-sampling update, compiled train steps, then validation
+through the dense-captioning metric stack; model-best selection by
+METEOR + soda_c (criteria 'dvc') or the paragraph metrics ('pc'), last/best
+checkpoints + info.json with full option dict and histories.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def train(opt):
+    import jax
+
+    from dvc_tpu.data import BatchLoader, DenseCaptionDataset
+    from dvc_tpu.eval import evaluate
+    from dvc_tpu.train import (Trainer, filtered_restore, load_checkpoint,
+                               load_info_json, multistep_lr, save_checkpoint,
+                               save_info_json, ss_prob_for_epoch)
+    from dvc_tpu.utils.logging import (backup_environment, build_folder,
+                                       create_logger, print_opt)
+
+    save_folder = build_folder(opt)
+    logger = create_logger(save_folder, 'train.log')
+    backup_environment(save_folder, os.path.dirname(os.path.abspath(__file__)))
+    logger.info(f'save folder: {save_folder}')
+
+    epoch = 0
+    best_val_score = -1e9
+    val_history, loss_history = {}, {}
+
+    if opt.start_from:
+        info = load_info_json(save_folder)
+        if info is not None:
+            prev = info.get(opt.start_from_mode, {})
+            epoch = prev.get('epoch', 0)
+            best_val_score = info.get('best_val_score', -1e9)
+            logger.info(f'resuming from epoch {epoch}')
+
+    train_dataset = DenseCaptionDataset(
+        opt.train_caption_file, opt.visual_feature_folder, opt.dict_file,
+        is_training=True, opt=opt, seed=opt.seed)
+    val_dataset = DenseCaptionDataset(
+        opt.val_caption_file, opt.visual_feature_folder, opt.dict_file,
+        is_training=False, opt=opt, seed=opt.seed)
+    train_loader = BatchLoader(train_dataset, opt.batch_size, shuffle=True,
+                               opt=opt, seed=opt.seed)
+    val_loader = BatchLoader(val_dataset, opt.batch_size_for_eval,
+                             shuffle=False, opt=opt)
+
+    trainer = Trainer(opt)
+    batch0, _ = next(iter(train_loader))
+    state = trainer.init_state(batch0, seed=opt.seed)
+    n_params = sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(state['params']))
+    logger.info(f'model parameters: {n_params / 1e6:.2f}M')
+
+    if opt.pretrain and not opt.start_from:
+        logger.info(f'loading pretrained ({opt.pretrain}) from '
+                    f'{opt.pretrain_path}')
+        ck = load_checkpoint(opt.pretrain_path)
+        state['params'] = filtered_restore(state['params'], ck['params'],
+                                           opt.pretrain)
+
+    if opt.start_from:
+        mode = opt.start_from_mode
+        path = os.path.join(save_folder, f'model-{mode}.ckpt')
+        ck = load_checkpoint(path)
+        state['params'] = ck['params']
+        state['opt_state'] = ck['opt_state']
+        state['step'] = ck.get('step', 0)
+        epoch = ck['epoch']
+
+    print_opt(opt, logger)
+    logger.info('Start training!')
+
+    rng = jax.random.PRNGKey(opt.seed)
+    iteration = 0
+    while epoch < opt.epoch:
+        ss_prob = ss_prob_for_epoch(opt, epoch)
+        lr = multistep_lr(opt, epoch)
+        logger.info(f'epoch {epoch} lr {lr:.2e} ss_prob {ss_prob:.3f}')
+        loss_sum = {}
+        t0 = time.time()
+        n = 0
+        for batch, meta in train_loader:
+            if opt.debug and n >= 5:
+                break
+            rng, step_rng = jax.random.split(rng)
+            state, losses = trainer.train_step(state, batch, lr, ss_prob,
+                                               step_rng)
+            for k, v in losses.items():
+                loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+            iteration += 1
+            n += 1
+        dt = time.time() - t0
+        loss_avg = {k: round(v / max(n, 1), 3) for k, v in loss_sum.items()}
+        vps = n * opt.batch_size / max(dt, 1e-9)
+        logger.info(f'epoch {epoch}: {loss_avg}, {dt:.1f}s '
+                    f'({vps:.2f} videos/s)')
+        loss_history[epoch] = loss_avg
+
+        epoch += 1
+        # ---------------- evaluation + checkpointing ----------------
+        if epoch % opt.save_checkpoint_every == 0 and \
+                epoch >= opt.min_epoch_when_save:
+            dvc_json_path = os.path.join(
+                save_folder, f'epoch{epoch}.json')
+            try:
+                scores, eval_loss = evaluate(
+                    trainer, state, val_loader, dvc_json_path, logger=logger,
+                    alpha=opt.ec_alpha,
+                    dvc_eval_version=opt.eval_tool_version,
+                    debug=opt.debug)
+            except FileNotFoundError as e:
+                logger.warning(f'skipping metric eval (missing gt): {e}')
+                scores = None
+            if scores is not None:
+                if opt.criteria_for_best_ckpt == 'dvc':
+                    current = (scores.get('METEOR', 0)
+                               + scores.get('soda_c', 0))
+                else:
+                    current = (scores.get('para_METEOR', 0)
+                               + scores.get('para_CIDEr', 0)
+                               + scores.get('para_Bleu_4', 0))
+                val_history[epoch] = {k: float(v)
+                                      for k, v in scores.items()}
+                logger.info(f'epoch {epoch} val score {current:.4f} '
+                            f'(best {best_val_score:.4f})')
+                if current > best_val_score:
+                    best_val_score = current
+                    save_checkpoint(save_folder, 'best', state, epoch)
+                    logger.info('new best checkpoint saved')
+            save_checkpoint(save_folder, 'last', state, epoch)
+            if opt.save_all_checkpoint:
+                save_checkpoint(save_folder, f'epoch{epoch}', state, epoch)
+            info = {
+                'best_val_score': best_val_score,
+                'last': {'epoch': epoch, 'opt': opt.to_dict()},
+                'best': {'epoch': epoch, 'opt': opt.to_dict()},
+                'val_history': val_history,
+                'loss_history': loss_history,
+            }
+            save_info_json(save_folder, info)
+
+    logger.info('Training done.')
+    return save_folder
+
+
+if __name__ == '__main__':
+    from dvc_tpu.utils.config import parse_opts
+    opt = parse_opts()
+    np.random.seed(opt.seed)
+    train(opt)
