@@ -60,6 +60,10 @@ def main():
 
     caption_file = args.eval_caption_file or opt.val_caption_file
     feature_folder = args.eval_feature_folder or opt.visual_feature_folder
+    if (args.eval_feature_folder
+            and isinstance(opt.visual_feature_type, (list, tuple))):
+        feature_folder = [args.eval_feature_folder] * len(
+            opt.visual_feature_type)
     skip_lang = args.skip_lang_eval or args.eval_mode == 'test'
 
     ds = DenseCaptionDataset(caption_file, feature_folder, opt.dict_file,

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""TSP feature extraction driver.
+
+Reference: ``video_backbone/TSP/extract_features/extract_features.py:54-231``.
+Decodes stride-``stride`` clips of every video, runs the TSP backbone, and
+writes one ``<video_id>.npy`` of clip features per video.  Work divides
+across processes with ``--shard-id/--num-shards`` (embarrassingly parallel,
+SURVEY.md §2.9) and is idempotent: already-extracted videos are skipped.
+
+    python extract_features.py --video-dir my_videos/ \
+        --backbone mvit_v2_s --local-checkpoint mvit_tsp.ckpt \
+        --stride 16 --output-dir features/
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('--video-dir', type=str, default=None)
+    p.add_argument('--metadata-csv-filename', type=str, default=None)
+    p.add_argument('--backbone', type=str, default='mvit_v2_s',
+                   choices=['r2plus1d_34', 'r2plus1d_18', 'r3d_18',
+                            'mvit_v2_s'])
+    p.add_argument('--local-checkpoint', type=str, default=None,
+                   help='.ckpt (flax pickle) or .pth (torch) TSP weights')
+    p.add_argument('--clip-len', type=int, default=16)
+    p.add_argument('--frame-rate', type=float, default=15)
+    p.add_argument('--stride', type=int, default=16)
+    p.add_argument('--batch-size', type=int, default=32)
+    p.add_argument('--shard-id', type=int, default=0)
+    p.add_argument('--num-shards', type=int, default=1)
+    p.add_argument('--output-dir', type=str, required=True)
+    return p.parse_args()
+
+
+def load_videos(args):
+    import csv
+    if args.metadata_csv_filename:
+        with open(args.metadata_csv_filename) as f:
+            return [dict(filename=r['filename'], fps=float(r['fps']),
+                         frames=int(float(r['video-frames'])))
+                    for r in csv.DictReader(f)]
+    from dvc_tpu.data.video_clips import video_metadata
+    vids = []
+    for p in sorted(glob.glob(os.path.join(args.video_dir, '*'))):
+        if not p.lower().endswith(('.mp4', '.mkv', '.webm', '.avi')):
+            continue
+        try:
+            fps, n, _ = video_metadata(p)
+        except IOError:
+            print(f'unreadable video skipped: {p}')
+            continue
+        vids.append(dict(filename=p, fps=fps, frames=n))
+    return vids
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from dvc_tpu.data.video_clips import ClipBatcher, make_clip_table
+    from dvc_tpu.models.tsp import TSPModel
+    from dvc_tpu.train.trainer import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+    videos = load_videos(args)
+    videos = [v for i, v in enumerate(videos)
+              if i % args.num_shards == args.shard_id]
+    print(f'shard {args.shard_id}/{args.num_shards}: {len(videos)} videos')
+
+    model = TSPModel(backbone=args.backbone, num_classes=(1,), num_heads=1)
+    spec_hw = {'mvit_v2_s': 224}.get(args.backbone, 112)
+    dummy = jnp.zeros((1, args.clip_len, spec_hw, spec_hw, 3))
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+
+    if args.local_checkpoint:
+        if args.local_checkpoint.endswith('.pth'):
+            from dvc_tpu.models.tsp import (convert_videoresnet,
+                                            load_torch_state_dict)
+            sd = load_torch_state_dict(args.local_checkpoint)
+            layers = {'r2plus1d_34': (3, 4, 6, 3)}.get(
+                args.backbone, (2, 2, 2, 2))
+            conv_type = 'r3d' if args.backbone == 'r3d_18' else 'r2plus1d'
+            params, stats = convert_videoresnet(sd, layers, conv_type)
+            variables = {'params': {**variables['params'],
+                                    'features': params},
+                         'batch_stats': {'features': stats}}
+        else:
+            import pickle
+            with open(args.local_checkpoint, 'rb') as f:
+                variables = pickle.load(f)['variables']
+
+    @jax.jit
+    def features_fn(x):
+        _, feats = model.apply(variables, x, return_features=True)
+        return feats
+
+    for v in videos:
+        vid = os.path.splitext(os.path.basename(v['filename']))[0]
+        out_path = os.path.join(args.output_dir, vid[:13] + '.npy')
+        if os.path.exists(out_path):
+            print(f'already computed: {vid}')
+            continue
+        clips = make_clip_table(v['filename'], v['fps'], v['frames'],
+                                args.clip_len, args.frame_rate, args.stride)
+        if not clips:
+            print(f'no clips for {vid}')
+            continue
+        feats = []
+        batcher = ClipBatcher(clips, args.batch_size, args.clip_len,
+                              args.frame_rate, args.backbone)
+        for x, n, _ in batcher:
+            f = np.asarray(features_fn(jnp.asarray(x)))[:n]
+            feats.append(f)
+        feats = np.concatenate(feats)
+        np.save(out_path, feats)
+        print(f'{vid}: {feats.shape} -> {out_path}')
+
+
+if __name__ == '__main__':
+    main()
