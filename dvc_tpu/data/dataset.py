@@ -56,7 +56,10 @@ def read_feature_file(path: str, feat_dim: int, mean=0., var=1.,
     if os.path.exists(path):
         ext = path.split('.')[-1]
         if ext == 'npy':
-            feats = np.load(path)
+            from . import native_io
+            feats = native_io.load_npy(path) if native_io.available() else None
+            if feats is None:
+                feats = np.load(path)
         elif ext == 'csv':
             import pandas as pd
             feats = pd.read_csv(path).values
@@ -74,6 +77,11 @@ def read_feature_file(path: str, feat_dim: int, mean=0., var=1.,
 def resize_feature(feats: np.ndarray, new_size: int,
                    method: str = 'nearest') -> np.ndarray:
     """Temporal rescale (reference resizeFeature, video_dataset.py:386-397)."""
+    from . import native_io
+    if native_io.available() and feats.ndim == 2 and len(feats) > 1:
+        out = native_io.resize_feature(feats, new_size, method)
+        if out is not None:
+            return out
     orig = len(feats)
     if orig == 1:
         return np.repeat(feats.reshape(1, -1), new_size, axis=0)

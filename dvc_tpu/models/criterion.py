@@ -181,4 +181,11 @@ def build_weight_dict(opt):
         for i in range(opt.dec_layers - 1):
             aux.update({f'{k}_{i}': v for k, v in weight_dict.items()})
         weight_dict.update(aux)
+    if opt.transformer_input_type == 'gt_proposals':
+        # two-stage on gt proposals: localization losses are disabled
+        # (reference decide_two_stage, misc/utils.py:31-49)
+        for q_k in ('loss_length', 'loss_ce', 'loss_bbox', 'loss_giou'):
+            for key in list(weight_dict):
+                if q_k in key:
+                    weight_dict[key] = 0
     return weight_dict
