@@ -84,6 +84,12 @@ def train(opt):
     print_opt(opt, logger)
     logger.info('Start training!')
 
+    # observability: set DVC_PROFILE_DIR to capture an XLA trace of the
+    # first training steps (TPU superset of the reference's wall-clock
+    # time/iter logging, SURVEY.md §5)
+    profile_dir = os.environ.get('DVC_PROFILE_DIR')
+    profile_steps = int(os.environ.get('DVC_PROFILE_STEPS', '10'))
+
     rng = jax.random.PRNGKey(opt.seed)
     iteration = 0
     while epoch < opt.epoch:
@@ -97,8 +103,14 @@ def train(opt):
             if opt.debug and n >= 5:
                 break
             rng, step_rng = jax.random.split(rng)
+            if profile_dir and iteration == 1:
+                jax.profiler.start_trace(profile_dir)
             state, losses = trainer.train_step(state, batch, lr, ss_prob,
                                                step_rng)
+            if profile_dir and iteration == 1 + profile_steps:
+                jax.block_until_ready(losses['total_loss'])
+                jax.profiler.stop_trace()
+                logger.info(f'profiler trace written to {profile_dir}')
             for k, v in losses.items():
                 loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
             iteration += 1
