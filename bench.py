@@ -34,7 +34,7 @@ def main():
     from __graft_entry__ import _flagship_opt, _synthetic_batch
     from dvc_tpu.train import Trainer
 
-    B = int(os.environ.get('BENCH_BATCH', '8'))
+    B = int(os.environ.get('BENCH_BATCH', '16'))
     opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
                         tpu_mesh_data=1)
     trainer = Trainer(opt)

@@ -183,9 +183,14 @@ class Trainer:
 # ----------------------------------------------------------------------
 
 def save_checkpoint(save_dir: str, tag: str, state: dict, epoch: int,
-                    extra: dict | None = None):
+                    extra: dict | None = None, backend: str | None = None):
+    """best/last checkpoints (reference train.py:225-234).
+
+    backend 'pickle' (default) writes one atomic file; 'orbax' (or
+    DVC_CKPT_BACKEND=orbax) uses an Orbax StandardCheckpointer directory —
+    async-friendly and multi-host safe."""
     os.makedirs(save_dir, exist_ok=True)
-    path = os.path.join(save_dir, f'model-{tag}.ckpt')
+    backend = backend or os.environ.get('DVC_CKPT_BACKEND', 'pickle')
     payload = {
         'epoch': epoch,
         'params': jax.tree_util.tree_map(np.asarray, state['params']),
@@ -194,6 +199,22 @@ def save_checkpoint(save_dir: str, tag: str, state: dict, epoch: int,
     }
     if extra:
         payload.update(extra)
+    if backend == 'orbax':
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(save_dir, f'model-{tag}.orbax'))
+        with ocp.StandardCheckpointer() as ckptr:
+            tmp_path = path + '.new'
+            if os.path.exists(tmp_path):
+                import shutil
+                shutil.rmtree(tmp_path)
+            ckptr.save(tmp_path, payload)
+            ckptr.wait_until_finished()
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        os.replace(tmp_path, path)
+        return path
+    path = os.path.join(save_dir, f'model-{tag}.ckpt')
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         pickle.dump(payload, f, protocol=4)
@@ -202,6 +223,10 @@ def save_checkpoint(save_dir: str, tag: str, state: dict, epoch: int,
 
 
 def load_checkpoint(path: str):
+    if path.endswith('.orbax') or os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path))
     with open(path, 'rb') as f:
         payload = pickle.load(f)
     return payload

@@ -173,6 +173,37 @@ def _build_parser() -> argparse.ArgumentParser:
     # reranking (opts.py:184)
     add('--ec_alpha', type=float, default=0.3)
 
+    # TSP / end-to-end flags (reference new_opts.py:209-301 superset)
+    add('--root_dir', type=str, default=None)
+    add('--workers', type=int, default=1)
+    add('--clip_workers', type=int, default=1)
+    add('--backbone_tsp', type=str, default='mvit_v2_s')
+    add('--clip_len', type=int, default=16)
+    add('--frame_rate', type=float, default=15)
+    add('--stride', type=int, default=16)
+    add('--backbone_lr', type=float, default=1e-5)
+    add('--fc_lr', type=float, default=5e-5)
+    add('--sound_lr', type=float, default=5e-5)
+    add('--lr_warmup_epochs', type=int, default=2)
+    add('--lr_milestones', type=int, nargs='+', default=[4, 6])
+    add('--lr_gamma', type=float, default=0.1)
+    add('--momentum', type=float, default=0.9)
+    add('--label_columns', type=str, nargs='+',
+        default=['action-label', 'temporal-region-label'])
+    add('--loss_alphas', type=float, nargs='+', default=[1.0, 1.0])
+    add('--global_video_features', type=str, default=None)
+    add('--train_csv_filename', type=str, default=None)
+    add('--valid_csv_filename', type=str, default=None)
+    add('--metadata_csv_valid', type=str, default=None)
+    add('--train_subdir', type=str, default='train')
+    add('--valid_subdir', type=str, default='valid')
+    add('--label_mapping_jsons', type=str, nargs='+', default=[])
+    add('--in_batch_size', type=int, default=64)
+    add('--shard_id', type=int, default=0)
+    add('--num_shards', type=int, default=1)
+    add('--sound_feature_folder', type=str, default=None)
+    add('--ckpt_every_batches', type=int, default=100)
+
     # ------------------------------------------------------------------
     # TPU-native additions (not in the reference)
     # ------------------------------------------------------------------

@@ -123,3 +123,16 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         if 'caption_head' in ps:
             saw_dec = saw_dec or np.abs(np.asarray(val)).sum() == 0
     assert saw_enc and saw_dec
+
+
+def test_checkpoint_orbax_roundtrip(setup, tmp_path):
+    opt, trainer, loader, state, ds = setup
+    state = setup_state.get('state', state)
+    path = save_checkpoint(str(tmp_path), 'last', state, epoch=2,
+                           backend='orbax')
+    ck = load_checkpoint(path)
+    assert int(ck['epoch']) == 2
+    a = jax.tree_util.tree_leaves(ck['params'])
+    b = jax.tree_util.tree_leaves(state['params'])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
