@@ -40,6 +40,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_batch_axis1(batch: dict, mesh: Mesh) -> dict:
+    """For (K, B, ...) multi-step stacks: shard the batch axis (axis 1)."""
+    sh = NamedSharding(mesh, P(None, 'data'))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
 def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), tree)

@@ -27,7 +27,8 @@ import numpy as np
 import optax
 
 from ..models import PDVC, PDVCConfig, build_weight_dict
-from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import (make_mesh, replicate_tree, shard_batch,
+                             shard_batch_axis1)
 
 
 def multistep_lr(opt, epoch: int) -> float:
@@ -164,6 +165,41 @@ class Trainer:
         return params, opt_state, losses
 
     # ------------------------------------------------------------------
+    def _multi_step_impl(self, params, opt_state, batches, lr, ss_prob,
+                         rng):
+        """lax.scan over K stacked batches — one dispatch for K optimizer
+        steps, amortizing host->device launch latency (useful when the
+        host link is long, e.g. remote TPU tunnels)."""
+        def body(carry, batch):
+            p, o, r = carry
+            r, r_step = jax.random.split(r)
+            p, o, losses = self._train_step_impl(p, o, batch, lr, ss_prob,
+                                                 r_step)
+            return (p, o, r), losses
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, rng), batches)
+        return params, opt_state, losses
+
+    def train_steps(self, state, batches, lr, ss_prob, rng):
+        """Run len(batches) optimizer steps in one compiled dispatch.
+
+        batches: list of batch dicts (identical shapes).  Returns the new
+        state and per-step loss dicts stacked on the leading axis.
+        """
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        stacked = shard_batch_axis1(stacked, self.mesh)
+        if not hasattr(self, '_multi_step'):
+            self._multi_step = jax.jit(self._multi_step_impl,
+                                       donate_argnums=(0, 1))
+        params, opt_state, losses = self._multi_step(
+            state['params'], state['opt_state'], stacked,
+            jnp.float32(lr), jnp.float32(ss_prob), rng)
+        state = {'params': params, 'opt_state': opt_state,
+                 'step': state['step'] + len(batches)}
+        return state, losses
+
     def train_step(self, state, batch, lr, ss_prob, rng):
         batch = shard_batch(batch, self.mesh)
         params, opt_state, losses = self._train_step(
