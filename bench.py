@@ -35,26 +35,27 @@ def main():
     from dvc_tpu.train import Trainer
 
     B = int(os.environ.get('BENCH_BATCH', '16'))
+    K = int(os.environ.get('BENCH_MULTI', '4'))  # optimizer steps/dispatch
     opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
                         tpu_mesh_data=1)
     trainer = Trainer(opt)
-    batch = _synthetic_batch(opt, B=B)
-    state = trainer.init_state(batch)
+    batches = [_synthetic_batch(opt, B=B) for _ in range(K)]
+    state = trainer.init_state(batches[0])
     rng = jax.random.PRNGKey(0)
 
     # warmup / compile
-    state, losses = trainer.train_step(state, batch, 5e-5, 0.0, rng)
+    state, losses = trainer.train_steps(state, batches, 5e-5, 0.0, rng)
     jax.block_until_ready(losses['total_loss'])
 
-    n_steps = int(os.environ.get('BENCH_STEPS', '20'))
+    n_dispatch = int(os.environ.get('BENCH_STEPS', '20')) // K or 1
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for i in range(n_dispatch):
         rng, r = jax.random.split(rng)
-        state, losses = trainer.train_step(state, batch, 5e-5, 0.0, r)
+        state, losses = trainer.train_steps(state, batches, 5e-5, 0.0, r)
     jax.block_until_ready(losses['total_loss'])
     dt = time.perf_counter() - t0
 
-    vps = n_steps * B / dt
+    vps = n_dispatch * K * B / dt
     print(json.dumps({
         'metric': 'train_throughput_videos_per_sec_per_chip',
         'value': round(vps, 3),

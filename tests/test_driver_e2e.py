@@ -71,3 +71,28 @@ def test_train_driver_end_to_end(synth_env, tmp_path):
     assert {'timestamp', 'sentence', 'proposal_score'} <= set(first)
     # metric scores were appended to the json
     assert 'METEOR' in dvc and 'soda_c' in dvc
+
+
+def test_train_driver_steps_per_dispatch(synth_env, tmp_path):
+    """K>1 optimizer steps per dispatch through the driver loop."""
+    root, anno, feats, vocab, vsize, para = synth_env
+    from dvc_tpu.utils.config import load_config
+    from train import train
+
+    opt = load_config(
+        id='synth_k2', save_dir=str(tmp_path / 'save'), seed=7,
+        train_caption_file=anno, val_caption_file=anno,
+        gt_file_for_eval=[anno], gt_file_for_para_eval=[para],
+        dict_file=vocab, vocab_size=vsize,
+        visual_feature_type='tsp', visual_feature_folder=feats,
+        feature_dim=16, frame_embedding_num=24, gt_proposal_sample_num=4,
+        max_caption_len=10, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=2, transformer_ff_dim=64, num_queries=10,
+        input_encoding_size=32, rnn_size=64, att_hid_size=0,
+        with_box_refine=True, caption_decoder_type='light',
+        caption_loss_coef=1.0, count_loss_coef=0.5, batch_size=3,
+        lr=1e-3, epoch=1, save_checkpoint_every=1, max_eseq_length=10,
+        msda_impl='ref', invalid_video_json=[], steps_per_dispatch=2,
+        batch_size_for_eval=3)
+    save_folder = train(opt)
+    assert os.path.exists(os.path.join(save_folder, 'model-last.ckpt'))

@@ -99,18 +99,36 @@ def train(opt):
         loss_sum = {}
         t0 = time.time()
         n = 0
-        for batch, meta in train_loader:
+        K = max(int(getattr(opt, 'steps_per_dispatch', 1)), 1)
+        pending = []
+        from dvc_tpu.data.prefetch import PrefetchLoader
+        for batch, meta in PrefetchLoader(train_loader):
             if opt.debug and n >= 5:
                 break
             rng, step_rng = jax.random.split(rng)
             if profile_dir and iteration == 1:
                 jax.profiler.start_trace(profile_dir)
-            state, losses = trainer.train_step(state, batch, lr, ss_prob,
-                                               step_rng)
-            if profile_dir and iteration == 1 + profile_steps:
+            if K > 1:
+                pending.append(batch)
+                if len(pending) < K:
+                    continue
+                state, stacked = trainer.train_steps(state, pending, lr,
+                                                     ss_prob, step_rng)
+                # sum over the K scanned steps; the epoch average divides
+                # by the total step count n
+                losses = {k: float(np.asarray(v).sum())
+                          for k, v in stacked.items()}
+                pending = []
+                n += K - 1
+                iteration += K - 1
+            else:
+                state, losses = trainer.train_step(state, batch, lr,
+                                                   ss_prob, step_rng)
+            if profile_dir and iteration >= 1 + profile_steps:
                 jax.block_until_ready(losses['total_loss'])
                 jax.profiler.stop_trace()
                 logger.info(f'profiler trace written to {profile_dir}')
+                profile_dir = None
             for k, v in losses.items():
                 loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
             iteration += 1
