@@ -267,10 +267,15 @@ class DSACaptionHead(_CaptionHeadBase):
             )
         return off_w, off_b, val_w, val_b, att
 
-    def _make_step(self, query, reference_points, memory, temporal_shapes,
-                   pad_mask, deterministic):
-        """query: (B, Pq, d); reference_points: (B, Pq, L, 1|2) pre-scaled by
-        valid ratios; memory: (B, S, d); pad_mask: (B, S) True = pad."""
+    def _make_step(self, query, ref_center, offset_scale, memory,
+                   temporal_shapes, pad_mask, deterministic):
+        """query: (B, Pq, d); ref_center/offset_scale: (B, Pq, L) — the two
+        reference-point branches of the reference's MSDeformAttnCap
+        (``ms_deform_attn_for_caption.py:102-108``) unified as
+        loc = center + offsets * scale (scale = 1/T_l for 1-d references,
+        length*0.5/n_points for box references), which lets matched pairs
+        from different decoder layers batch into one scan;
+        memory: (B, S, d); pad_mask: (B, S) True = pad."""
         cfg = self.cfg
         B, Pq, d = query.shape
         H = cfg.cap_nheads
@@ -287,20 +292,14 @@ class DSACaptionHead(_CaptionHeadBase):
         if pad_mask is not None:
             value = jnp.where(pad_mask[..., None], 0.0, value)
         value = value.reshape(B, -1, H, Dh)
-        shapes_arr = jnp.asarray(temporal_shapes, jnp.float32)
 
         def step_fn(it, state, drop_rng):
             h_top = state[0][-1]                      # (n, R)
             joint = jnp.concatenate(
                 [h_top.reshape(B, Pq, cfg.rnn_size), query], -1)
             offsets = (joint @ off_w + off_b).reshape(B, Pq, H, L, P)
-            if reference_points.shape[-1] == 1:
-                loc = (reference_points[:, :, None, :, None, 0]
-                       + offsets / shapes_arr[None, None, None, :, None])
-            else:
-                loc = (reference_points[:, :, None, :, None, 0]
-                       + offsets / P
-                       * reference_points[:, :, None, :, None, 1] * 0.5)
+            loc = (ref_center[:, :, None, :, None]
+                   + offsets * offset_scale[:, :, None, :, None])
             taps = ms_deform_attn_sample_values(
                 value, tuple(temporal_shapes), loc, mode='border')
             # (B, Pq, H, L, P, Dh) -> (n, H, L*P, Dh)
@@ -325,10 +324,10 @@ class DSACaptionHead(_CaptionHeadBase):
         return step_fn
 
     @nn.compact
-    def __call__(self, query, reference_points, memory, temporal_shapes,
-                 pad_mask, seq=None, ss_prob=0.0, deterministic=True,
-                 mode='forward'):
-        step_fn = self._make_step(query, reference_points, memory,
+    def __call__(self, query, ref_center, offset_scale, memory,
+                 temporal_shapes, pad_mask, seq=None, ss_prob=0.0,
+                 deterministic=True, mode='forward'):
+        step_fn = self._make_step(query, ref_center, offset_scale, memory,
                                   temporal_shapes, pad_mask, deterministic)
         n = query.shape[0] * query.shape[1]
         if mode == 'forward':
@@ -339,13 +338,14 @@ class DSACaptionHead(_CaptionHeadBase):
 
 
 def truncate_levels(cfg: CaptionHeadConfig, temporal_shapes: Sequence[int],
-                    memory, pad_mask, reference_points):
+                    memory, pad_mask, ref_center, offset_scale):
     """Optionally restrict the caption head to the first
     ``cap_num_feature_levels`` levels (reference ``LSTM_DSA.py:78-86``)."""
     L = cfg.cap_num_feature_levels
     if L >= len(temporal_shapes):
-        return tuple(temporal_shapes), memory, pad_mask, reference_points
+        return (tuple(temporal_shapes), memory, pad_mask, ref_center,
+                offset_scale)
     shapes = tuple(temporal_shapes[:L])
     S = sum(shapes)
     return (shapes, memory[:, :S], pad_mask[:, :S],
-            reference_points[:, :, :L])
+            ref_center[..., :L], offset_scale[..., :L])

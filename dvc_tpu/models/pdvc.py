@@ -322,47 +322,120 @@ class PDVC(nn.Module):
     # ------------------------------------------------------------------
     # caption decoding
     # ------------------------------------------------------------------
-    def _caption_reference(self, reference, valid_ratios, cap_cfg):
-        """Scale references by valid ratios for the caption head
-        (reference LSTM_DSA.py:66-70)."""
+    def _caption_reference(self, reference, valid_ratios, shapes):
+        """References scaled by valid ratios for the caption head
+        (reference LSTM_DSA.py:66-70), in unified (center, offset-scale)
+        form (see DSACaptionHead docstring): 1-d references give
+        center = ref * vr_l, scale = 1/T_l; box references give
+        center = c * vr_l, scale = len * vr_l * 0.5 / n_points.
+        Returns (center, scale) each (B, P, L)."""
+        L = len(shapes)
+        shapes_arr = jnp.asarray(shapes, jnp.float32)
         if reference.shape[-1] == 2:
-            ref = (reference[:, :, None]
-                   * jnp.stack([valid_ratios, valid_ratios], -1)[:, None])
+            center = reference[:, :, None, 0] * valid_ratios[:, None, :]
+            scale = (reference[:, :, None, 1] * valid_ratios[:, None, :]
+                     * 0.5 / self.cfg.caption.cap_dec_n_points)
         else:
-            ref = reference[:, :, None] * valid_ratios[:, None, :, None]
-        return ref
+            center = reference[:, :, None, 0] * valid_ratios[:, None, :]
+            scale = jnp.broadcast_to(1.0 / shapes_arr[None, None, :],
+                                     center.shape)
+        return center, scale
 
-    def caption_train_loss(self, l_id, hs_lid, reference, memory, shapes,
-                           valid_ratios, mask_flat, batch, col4row, ss_prob,
-                           deterministic):
-        """Teacher-forced caption loss on matched (query, gt) pairs
-        (reference caption_prediction, pdvc.py:325-445)."""
+    def _run_caption_forward(self, head, feats, center, scale, memory,
+                             shapes, mask_flat, caps, ss_prob,
+                             deterministic):
+        """One teacher-forced pass of the (standard) caption head over a
+        (B, P) pair layout; returns per-caption logprobs (B, P, Lc-1, V+1)."""
         c = self.cfg
+        shapes_t, mem_t, mask_t, center_t, scale_t = truncate_levels(
+            c.caption, shapes, memory, mask_flat, center, scale)
+        lp = head(feats, center_t, scale_t, mem_t, shapes_t, mask_t,
+                  seq=caps, ss_prob=ss_prob, deterministic=deterministic,
+                  mode='forward')
+        return lp.reshape(*feats.shape[:2], *lp.shape[1:])
+
+    def caption_train_losses(self, hs, init_reference, inter_refs, memory,
+                             shapes, valid_ratios, mask_flat, batch,
+                             last_idx, aux_idx, ss_prob, deterministic):
+        """Per-layer teacher-forced caption losses on matched pairs
+        (reference pdvc.py:294-304 -> caption_prediction :325-445).
+
+        With a shared caption head (the default) the D per-layer decodes
+        batch into ONE scan over a (B, D*G) pair axis — identical math,
+        1/D of the sequential word steps.
+        """
+        c = self.cfg
+        D = c.dec_layers
         gt_mask = batch['gt_boxes_mask']
         B, G = gt_mask.shape
-        cap = batch['cap_tensor']                      # (B, G, Lc)
-        cap_mask = batch['cap_mask']
-        feats = jnp.take_along_axis(hs_lid, col4row[..., None], axis=1)
-        head = self.caption_heads[l_id]
-        if c.caption_decoder_type == 'light':
-            lp = head(feats.reshape(B * G, -1), cap.reshape(B * G, -1),
-                      ss_prob=ss_prob, deterministic=deterministic,
-                      mode='forward')
-            lp = lp.reshape(B, G, *lp.shape[1:])
-        else:
-            ref = jnp.take_along_axis(
-                reference, col4row[..., None], axis=1)          # (B, G, 1|2)
-            ref = self._caption_reference(ref, valid_ratios, c.caption)
-            shapes_t, mem_t, mask_t, ref_t = truncate_levels(
-                c.caption, shapes, memory, mask_flat, ref)
-            lp = head(feats, ref_t, mem_t, shapes_t, mask_t, seq=cap,
-                      ss_prob=ss_prob, deterministic=deterministic,
-                      mode='forward')
-            lp = lp.reshape(B, G, *lp.shape[1:])
-        per_cap = caption_nll(lp, batch['cap_tensor'][..., 1:],
-                              batch['cap_mask'][..., 1:])        # (B, G)
+        cap = batch['cap_tensor']
         m = gt_mask.astype(jnp.float32)
-        return (per_cap * m).sum() / jnp.maximum(m.sum(), 1.0)
+        if not c.aux_loss:
+            # only the last layer is supervised (reference pdvc.py:307-317)
+            layers = [D - 1]
+        else:
+            layers = list(range(D))
+
+        def layer_inputs(l_id):
+            idx = last_idx if l_id == D - 1 else aux_idx[l_id]
+            feats = jnp.take_along_axis(hs[l_id], idx[..., None], axis=1)
+            if c.caption_decoder_type == 'light':
+                return feats, None, None
+            reference = self.layer_reference(init_reference, inter_refs,
+                                             l_id)
+            ref = jnp.take_along_axis(reference, idx[..., None], axis=1)
+            center, scale = self._caption_reference(ref, valid_ratios,
+                                                    shapes)
+            return feats, center, scale
+
+        def loss_key(l_id):
+            return ('loss_caption' if l_id == D - 1
+                    else f'loss_caption_{l_id}')
+
+        losses = {}
+        if c.share_caption_head and len(layers) > 1:
+            head = self.caption_heads[0]
+            parts = [layer_inputs(l) for l in layers]
+            feats = jnp.concatenate([p[0] for p in parts], axis=1)
+            nL = len(layers)
+            caps_all = jnp.tile(cap, (1, nL, 1))
+            if c.caption_decoder_type == 'light':
+                lp = head(feats.reshape(B * nL * G, -1),
+                          caps_all.reshape(B * nL * G, -1), ss_prob=ss_prob,
+                          deterministic=deterministic, mode='forward')
+                lp = lp.reshape(B, nL * G, *lp.shape[1:])
+            else:
+                center = jnp.concatenate([p[1] for p in parts], axis=1)
+                scale = jnp.concatenate([p[2] for p in parts], axis=1)
+                lp = self._run_caption_forward(
+                    head, feats, center, scale, memory, shapes, mask_flat,
+                    caps_all, ss_prob, deterministic)
+            per_cap = caption_nll(
+                lp, caps_all[..., 1:],
+                jnp.tile(batch['cap_mask'], (1, nL, 1))[..., 1:])
+            per_cap = per_cap.reshape(B, nL, G)
+            for i, l_id in enumerate(layers):
+                losses[loss_key(l_id)] = ((per_cap[:, i] * m).sum()
+                                          / jnp.maximum(m.sum(), 1.0))
+            return losses
+
+        for l_id in layers:
+            feats, center, scale = layer_inputs(l_id)
+            head = self.caption_heads[l_id]
+            if c.caption_decoder_type == 'light':
+                lp = head(feats.reshape(B * G, -1), cap.reshape(B * G, -1),
+                          ss_prob=ss_prob, deterministic=deterministic,
+                          mode='forward')
+                lp = lp.reshape(B, G, *lp.shape[1:])
+            else:
+                lp = self._run_caption_forward(
+                    head, feats, center, scale, memory, shapes, mask_flat,
+                    cap, ss_prob, deterministic)
+            per_cap = caption_nll(lp, cap[..., 1:],
+                                  batch['cap_mask'][..., 1:])
+            losses[loss_key(l_id)] = ((per_cap * m).sum()
+                                      / jnp.maximum(m.sum(), 1.0))
+        return losses
 
     def caption_sample(self, l_id, hs_lid, reference, memory, shapes,
                        valid_ratios, mask_flat):
@@ -374,11 +447,12 @@ class PDVC(nn.Module):
         if c.caption_decoder_type == 'light':
             seq, lp = head(hs_lid.reshape(B * Nq, d), None, mode='sample')
         else:
-            ref = self._caption_reference(reference, valid_ratios, c.caption)
-            shapes_t, mem_t, mask_t, ref_t = truncate_levels(
-                c.caption, shapes, memory, mask_flat, ref)
-            seq, lp = head(hs_lid, ref_t, mem_t, shapes_t, mask_t,
-                           mode='sample')
+            center, scale = self._caption_reference(reference, valid_ratios,
+                                                    shapes)
+            shapes_t, mem_t, mask_t, center_t, scale_t = truncate_levels(
+                c.caption, shapes, memory, mask_flat, center, scale)
+            seq, lp = head(hs_lid, center_t, scale_t, mem_t, shapes_t,
+                           mask_t, mode='sample')
         return (seq.reshape(B, Nq, -1), lp.reshape(B, Nq, -1))
 
     # ------------------------------------------------------------------
@@ -425,16 +499,10 @@ class PDVC(nn.Module):
 
         if train_path:
             # caption loss on matched pairs for every decoder layer
-            for l_id in range(c.dec_layers):
-                idx = last_idx if l_id == c.dec_layers - 1 else aux_idx[l_id]
-                reference = self.layer_reference(init_reference, inter_refs,
-                                                 l_id)
-                cap_loss = self.caption_train_loss(
-                    l_id, hs[l_id], reference, memory, shapes, valid_ratios,
-                    mask_flat, batch, idx, ss_prob, deterministic)
-                key = ('loss_caption' if l_id == c.dec_layers - 1
-                       else f'loss_caption_{l_id}')
-                losses[key] = cap_loss
+            losses.update(self.caption_train_losses(
+                hs, init_reference, inter_refs, memory, shapes,
+                valid_ratios, mask_flat, batch, last_idx, aux_idx, ss_prob,
+                deterministic))
         elif eval_mode and c.caption_decoder_type != 'none':
             l_id = c.dec_layers - 1
             reference = self.layer_reference(init_reference, inter_refs, l_id)
