@@ -108,15 +108,7 @@ def ms_deform_attn_ref(value, temporal_shapes, sampling_locations,
     return out.reshape(B, Q, H * D)
 
 
-def ms_deform_attn_sample_values(value, temporal_shapes, sampling_locations,
-                                 mode="border"):
-    """``return_value=True`` path of the caption head's deformable attention.
-
-    Returns the raw sampled taps, shaped (B, Q, H, L, P, D) — no attention
-    reduction (reference ``ms_deform_attn_func.py:64-65`` stacked per level).
-    Border padding matches the grid_sample fallback the reference always uses
-    for this path.
-    """
+def _sample_values_gather(value, temporal_shapes, sampling_locations, mode):
     B, S, H, D = value.shape
     _, Q, _, L, P = sampling_locations.shape
     starts = _level_starts(temporal_shapes)
@@ -134,6 +126,59 @@ def ms_deform_attn_sample_values(value, temporal_shapes, sampling_locations,
         samples.append(gather(idx_lo) * w_lo[..., None]
                        + gather(idx_hi) * w_hi[..., None])
     return jnp.stack(samples, axis=3)  # (B, Q, H, L, P, D)
+
+
+def _sample_values_dense(value, temporal_shapes, sampling_locations, mode):
+    """One-hot matmul formulation of the tap sampling (for its VJP)."""
+    B, S, H, D = value.shape
+    _, Q, _, L, P = sampling_locations.shape
+    starts = _level_starts(temporal_shapes)
+    samples = []
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        v_l = jax.lax.slice_in_dim(value, s0, s0 + T, axis=1)
+        loc = sampling_locations[:, :, :, l, :]
+        idx_lo, idx_hi, w_lo, w_hi = _tap_indices_weights(loc, T, mode)
+        iota = jnp.arange(T, dtype=jnp.int32)
+        W = (w_lo[..., None] * (idx_lo[..., None] == iota)
+             + w_hi[..., None] * (idx_hi[..., None] == iota))  # (B,Q,H,P,T)
+        samples.append(jnp.einsum('bqhpt,bthd->bqhpd',
+                                  W.astype(value.dtype), v_l,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(value.dtype))
+    return jnp.stack(samples, axis=3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def ms_deform_attn_sample_values(value, temporal_shapes, sampling_locations,
+                                 mode="border"):
+    """``return_value=True`` path of the caption head's deformable attention.
+
+    Returns the raw sampled taps, shaped (B, Q, H, L, P, D) — no attention
+    reduction (reference ``ms_deform_attn_func.py:64-65`` stacked per level).
+    Border padding matches the grid_sample fallback the reference always uses
+    for this path.  Forward is gather-based; backward goes through the
+    one-hot matmul formulation (MXU instead of TPU scatters) — this op runs
+    inside the caption word scan, so its backward is on the hot path.
+    """
+    return _sample_values_gather(value, temporal_shapes,
+                                 sampling_locations, mode)
+
+
+def _sample_values_fwd(value, temporal_shapes, sampling_locations, mode):
+    out = _sample_values_gather(value, temporal_shapes, sampling_locations,
+                                mode)
+    return out, (value, sampling_locations)
+
+
+def _sample_values_bwd(temporal_shapes, mode, residuals, g):
+    value, sampling_locations = residuals
+    _, vjp = jax.vjp(
+        lambda v, s: _sample_values_dense(v, temporal_shapes, s, mode),
+        value, sampling_locations)
+    return vjp(g.astype(value.dtype))
+
+
+ms_deform_attn_sample_values.defvjp(_sample_values_fwd, _sample_values_bwd)
 
 
 def _interp_matrix(temporal_shapes, sampling_locations, attention_weights,
@@ -282,11 +327,15 @@ def _msda_pallas_fwd(value, temporal_shapes, sampling_locations,
 
 
 def _msda_pallas_bwd(temporal_shapes, mode, interpret, residuals, g):
+    # backward through the dense (one-hot matmul) formulation: its VJP is
+    # matmuls on the MXU, whereas the gather oracle's VJP lowers to TPU
+    # scatters (slow). The two are mathematically identical.
     value, sampling_locations, attention_weights = residuals
     _, vjp = jax.vjp(
-        lambda v, s, a: ms_deform_attn_ref(v, temporal_shapes, s, a, mode=mode),
+        lambda v, s, a: ms_deform_attn_dense(v, temporal_shapes, s, a,
+                                             mode=mode),
         value, sampling_locations, attention_weights)
-    return vjp(g)
+    return vjp(g.astype(value.dtype))
 
 
 ms_deform_attn_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)

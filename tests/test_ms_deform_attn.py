@@ -135,3 +135,25 @@ def test_sample_values_border_semantics():
     out = jnp.sum(samp * attn[..., None], axis=(3, 4)).reshape(1, 3, -1)
     want = numpy_oracle(value, SHAPES[0], loc, attn, mode="border")
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_values_grad_matches_gather():
+    """Custom (dense-formulated) backward of sample_values equals the
+    gather implementation's autodiff."""
+    from dvc_tpu.ops.ms_deform_attn import _sample_values_gather
+    rng = np.random.default_rng(7)
+    value, loc, attn = make_inputs(rng, B=1, Q=3, H=2, D=4, P=2)
+
+    def loss_custom(v, l):
+        out = ms_deform_attn_sample_values(v, SHAPES[0], l)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_gather(v, l):
+        out = _sample_values_gather(v, SHAPES[0], l, 'border')
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1))(value, loc)
+    g2 = jax.grad(loss_gather, argnums=(0, 1))(value, loc)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
