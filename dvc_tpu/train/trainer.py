@@ -138,8 +138,26 @@ class Trainer:
         else:
             params = self.model.init(rngs, example_batch, eval_mode=False)
         opt_state = self.tx.init(params)
-        params = replicate_tree(params, self.mesh)
-        opt_state = replicate_tree(opt_state, self.mesh)
+        if self.mesh.shape.get('model', 1) > 1:
+            # tensor-parallel placement of the FFN bulk; Adam moments
+            # follow their parameters
+            from ..parallel.sharding_rules import param_shardings
+            sh = param_shardings(params, self.mesh)
+            params = jax.tree_util.tree_map(jax.device_put, params, sh)
+
+            def place_like(x):
+                # opt_state leaves that mirror a param tree get its sharding
+                return jax.tree_util.tree_map(jax.device_put, x, sh) \
+                    if jax.tree_util.tree_structure(x) == \
+                    jax.tree_util.tree_structure(sh) else \
+                    replicate_tree(x, self.mesh)
+            opt_state = jax.tree_util.tree_map(
+                place_like, opt_state,
+                is_leaf=lambda x: jax.tree_util.tree_structure(x)
+                == jax.tree_util.tree_structure(sh))
+        else:
+            params = replicate_tree(params, self.mesh)
+            opt_state = replicate_tree(opt_state, self.mesh)
         return {'params': params, 'opt_state': opt_state, 'step': 0}
 
     # ------------------------------------------------------------------

@@ -49,3 +49,24 @@ def test_mesh_axes():
     mesh = make_mesh(n_data=4, n_model=2)
     assert mesh.shape['data'] == 4
     assert mesh.shape['model'] == 2
+
+
+def test_dp_tp_mesh_loss_matches(setup):
+    """2x4 data x model mesh: FFN weights shard over 'model'; the loss
+    matches the single-device run."""
+    opt, batch = setup
+    results = {}
+    for n_data, n_model in ((1, 1), (4, 2)):
+        trainer = Trainer(opt, mesh=make_mesh(n_data=n_data,
+                                              n_model=n_model))
+        state = trainer.init_state(batch, seed=0)
+        if n_model > 1:
+            # the FFN kernels must actually be sharded over 'model'
+            k = state['params']['params']['encoder_layer_0']['ffn'][
+                'linear1']['kernel']
+            assert len(k.sharding.device_set) >= n_model
+        state, losses = trainer.train_step(state, dict(batch), 1e-4, 0.0,
+                                           jax.random.PRNGKey(0))
+        results[(n_data, n_model)] = float(losses['total_loss'])
+    np.testing.assert_allclose(results[(1, 1)], results[(4, 2)],
+                               rtol=2e-4, atol=1e-4)
