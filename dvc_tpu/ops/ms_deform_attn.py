@@ -365,3 +365,10 @@ def ms_deform_attn(value, temporal_shapes, sampling_locations,
                                      sampling_locations, attention_weights,
                                      mode, True)
     raise ValueError(f"unknown impl: {impl}")
+
+
+def _sample_values_gather_mode(value, temporal_shapes, sampling_locations,
+                               mode="border"):
+    """Plain-autodiff gather variant (A/B testing of the custom VJP)."""
+    return _sample_values_gather(value, temporal_shapes, sampling_locations,
+                                 mode)
