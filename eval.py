@@ -66,12 +66,24 @@ def main():
             opt.visual_feature_type)
     skip_lang = args.skip_lang_eval or args.eval_mode == 'test'
 
-    ds = DenseCaptionDataset(caption_file, feature_folder, opt.dict_file,
-                             is_training=False, opt=opt)
-    loader = BatchLoader(ds, args.eval_batch_size or opt.batch_size_for_eval,
-                         shuffle=False, opt=opt)
-
-    trainer = Trainer(opt)
+    fusion = bool(getattr(opt, 'sound_feature_folder', None))
+    if fusion:
+        from dvc_tpu.data.fusion_dataset import (FusionBatchLoader,
+                                                 FusionDataset)
+        from newTrain import make_fusion_trainer
+        ds = FusionDataset(caption_file, feature_folder, opt.dict_file,
+                           is_training=False, opt=opt)
+        loader = FusionBatchLoader(
+            ds, args.eval_batch_size or opt.batch_size_for_eval,
+            shuffle=False, opt=opt)
+        trainer = make_fusion_trainer(opt)
+    else:
+        ds = DenseCaptionDataset(caption_file, feature_folder, opt.dict_file,
+                                 is_training=False, opt=opt)
+        loader = BatchLoader(ds,
+                             args.eval_batch_size or opt.batch_size_for_eval,
+                             shuffle=False, opt=opt)
+        trainer = Trainer(opt)
     ck_path = os.path.join(args.eval_save_dir,
                            f'model-{args.eval_model}.ckpt')
     ck = load_checkpoint(ck_path)
