@@ -80,6 +80,34 @@ def create_logger(folder: str, filename: str) -> logging.Logger:
     return logger
 
 
+class MetricsWriter:
+    """Scalar metrics sink (the reference's tensorboardX writer,
+    train.py:36,211-213,250-254): JSONL always; TensorBoard events too when
+    tensorboardX is importable."""
+
+    def __init__(self, folder: str):
+        os.makedirs(folder, exist_ok=True)
+        self._f = open(os.path.join(folder, 'metrics.jsonl'), 'a')
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(folder)
+        except ImportError:
+            self._tb = None
+
+    def add_scalar(self, tag: str, value, step: int):
+        import json
+        self._f.write(json.dumps({'tag': tag, 'value': float(value),
+                                  'step': int(step)}) + '\n')
+        self._f.flush()
+        if self._tb:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def close(self):
+        self._f.close()
+        if self._tb:
+            self._tb.close()
+
+
 def print_opt(opt, logger):
     logger.info('|  option  |  value  |')
     for k, v in sorted(opt.to_dict().items()):

@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument('--shard-id', type=int, default=0)
     p.add_argument('--num-shards', type=int, default=1)
     p.add_argument('--output-dir', type=str, required=True)
+    p.add_argument('--dtype', type=str, default='bfloat16',
+                   choices=['float32', 'bfloat16'],
+                   help='compute dtype for extraction (features are '
+                        'written as float32 either way)')
     return p.parse_args()
 
 
@@ -100,10 +104,20 @@ def main():
             with open(args.local_checkpoint, 'rb') as f:
                 variables = pickle.load(f)['variables']
 
+    if args.dtype == 'bfloat16':
+        # inference-only cast: flax modules infer compute dtype from inputs
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, 'dtype') and jnp.issubdtype(v.dtype, jnp.floating)
+            else v, variables)
+    variables = jax.device_put(variables, jax.devices()[0])
+
     @jax.jit
     def features_fn(x):
+        if args.dtype == 'bfloat16':
+            x = x.astype(jnp.bfloat16)
         _, feats = model.apply(variables, x, return_features=True)
-        return feats
+        return feats.astype(jnp.float32)
 
     for v in videos:
         vid = os.path.splitext(os.path.basename(v['filename']))[0]

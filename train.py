@@ -27,11 +27,13 @@ def train(opt):
     from dvc_tpu.train import (Trainer, filtered_restore, load_checkpoint,
                                load_info_json, multistep_lr, save_checkpoint,
                                save_info_json, ss_prob_for_epoch)
-    from dvc_tpu.utils.logging import (backup_environment, build_folder,
-                                       create_logger, print_opt)
+    from dvc_tpu.utils.logging import (MetricsWriter, backup_environment,
+                                       build_folder, create_logger,
+                                       print_opt)
 
     save_folder = build_folder(opt)
     logger = create_logger(save_folder, 'train.log')
+    metrics = MetricsWriter(save_folder)
     backup_environment(save_folder, os.path.dirname(os.path.abspath(__file__)))
     logger.info(f'save folder: {save_folder}')
 
@@ -139,6 +141,10 @@ def train(opt):
         logger.info(f'epoch {epoch}: {loss_avg}, {dt:.1f}s '
                     f'({vps:.2f} videos/s)')
         loss_history[epoch] = loss_avg
+        metrics.add_scalar('lr', lr, iteration)
+        metrics.add_scalar('videos_per_sec', vps, iteration)
+        for k, v in loss_avg.items():
+            metrics.add_scalar(f'train/{k}', v, iteration)
 
         epoch += 1
         # ---------------- evaluation + checkpointing ----------------
@@ -165,6 +171,8 @@ def train(opt):
                                + scores.get('para_Bleu_4', 0))
                 val_history[epoch] = {k: float(v)
                                       for k, v in scores.items()}
+                for k, v in scores.items():
+                    metrics.add_scalar(f'val/{k}', v, iteration)
                 logger.info(f'epoch {epoch} val score {current:.4f} '
                             f'(best {best_val_score:.4f})')
                 if current > best_val_score:
