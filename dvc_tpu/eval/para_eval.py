@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import re
 
-import numpy as np
+
 
 from .scorers import Bleu, Cider, Meteor, Rouge
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ms_deform_attn
-from ..utils.box_ops import inverse_sigmoid
+
 
 
 def msda_offset_bias_init(n_heads: int, n_levels: int, n_points: int,

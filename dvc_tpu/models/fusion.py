@@ -19,7 +19,7 @@ accidental behavior.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
+
 
 from .pdvc import PDVC, PDVCConfig
 

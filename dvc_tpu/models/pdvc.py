@@ -25,14 +25,14 @@ Static-shape contract (batch dict):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..utils.box_ops import inverse_sigmoid
-from .base_encoder import BaseEncoder, pyramid_shapes
+from .base_encoder import BaseEncoder
 from .caption_heads import (CaptionHeadConfig, DSACaptionHead,
                             LightCaptionHead, caption_nll, truncate_levels)
 from .criterion import CriterionConfig, criterion_forward

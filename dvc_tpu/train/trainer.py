@@ -19,7 +19,7 @@ import os
 import pickle
 import time
 from functools import partial
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

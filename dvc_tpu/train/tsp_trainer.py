@@ -16,7 +16,7 @@ Kinetics/IG65M checkpoints), sidestepping SyncBatchNorm entirely.
 from __future__ import annotations
 
 from bisect import bisect_right
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
