@@ -63,3 +63,22 @@ def test_tsp_train_step_runs():
         if 'fc1' in ps and 'kernel' in ps:
             moved = moved or diff > 0
     assert moved and frozen
+
+
+def test_tsp_train_step_with_gvf():
+    opt = load_config(backbone_tsp='r3d_18', tsp_num_classes=(3, 2),
+                      tsp_num_heads=2, loss_alphas=[1.0, 0.5],
+                      backbone_lr=1e-4, fc_lr=1e-3,
+                      global_video_features='dummy.h5')
+    trainer = TSPTrainer(opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        'clip': jnp.asarray(rng.standard_normal(
+            (2, 4, 32, 32, 3)).astype(np.float32)),
+        'gvf': jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32)),
+        'label0': jnp.asarray([1, 0]),
+        'label1': jnp.asarray([0, 1]),
+    }
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch, iteration=0)
+    assert np.isfinite(float(metrics['total']))

@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument('--label-columns', type=str, nargs='+',
                    default=['action-label', 'temporal-region-label'])
     p.add_argument('--loss-alphas', type=float, nargs='+', default=[1.0, 1.0])
+    p.add_argument('--global-video-features', type=str, default=None,
+                   help='h5 of per-video global features for the second '
+                        'head (reference TSP GVF, model.py:39-40)')
     p.add_argument('--output-dir', type=str, default='save/tsp')
     p.add_argument('--mesh-data', type=int, default=1)
     p.add_argument('--seed', type=int, default=777)
@@ -77,10 +80,18 @@ def main():
         for i in range(n_heads))
     print(f'{len(clips)} clips, heads {n_heads}, classes {n_classes}')
 
+    gvf_table = {}
+    if args.global_video_features:
+        import h5py
+        with h5py.File(args.global_video_features, 'r') as f:
+            gvf_table = {k: np.asarray(f[k]) for k in f.keys()}
+        print(f'loaded {len(gvf_table)} global video features')
+
     opt = load_config(backbone_tsp=args.backbone,
                       tsp_num_classes=n_classes, tsp_num_heads=n_heads,
                       loss_alphas=args.loss_alphas,
                       backbone_lr=args.backbone_lr, fc_lr=args.fc_lr,
+                      global_video_features=args.global_video_features,
                       tpu_mesh_data=args.mesh_data)
     steps_per_epoch = max(len(clips) // args.batch_size, 1)
     opt.lr_milestones = tuple(m * steps_per_epoch
@@ -99,6 +110,15 @@ def main():
         while len(xs) < args.batch_size:
             xs.append(np.zeros_like(xs[0]))
         batch = {'clip': jnp.asarray(np.stack(xs))}
+        if gvf_table:
+            def vid_key(c):
+                return os.path.splitext(
+                    os.path.basename(c['filename']))[0][:13]
+            dim = next(iter(gvf_table.values())).shape[-1]
+            gvf = [gvf_table.get(vid_key(c), np.zeros(dim, np.float32))
+                   for c in chunk]
+            gvf += [np.zeros(dim, np.float32)] * (args.batch_size - len(chunk))
+            batch['gvf'] = jnp.asarray(np.stack(gvf).astype(np.float32))
         for i in range(n_heads):
             labels = [c['labels'][i] for c in chunk]
             labels += [-1] * (args.batch_size - len(chunk))
