@@ -58,10 +58,12 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     impl: str = 'auto'
+    dtype: object = jnp.float32
 
     def sampling_locations(self, query, reference_points, temporal_shapes):
         B, Lq, _ = query.shape
         H, L, P = self.n_heads, self.n_levels, self.n_points
+        query = query.astype(jnp.float32)
         offsets = nn.Dense(
             H * L * P, name='sampling_offsets',
             kernel_init=nn.initializers.zeros,
@@ -96,7 +98,7 @@ class MSDeformAttn(nn.Module):
         B, S, _ = input_flatten.shape
         H = self.n_heads
         D = self.d_model // H
-        value = nn.Dense(self.d_model, name='value_proj',
+        value = nn.Dense(self.d_model, name='value_proj', dtype=self.dtype,
                          kernel_init=nn.initializers.xavier_uniform(),
                          bias_init=nn.initializers.zeros)(input_flatten)
         if pad_mask is not None:
@@ -104,9 +106,10 @@ class MSDeformAttn(nn.Module):
         value = value.reshape(B, S, H, D)
         loc, attn = self.sampling_locations(query, reference_points,
                                             temporal_shapes)
-        out = ms_deform_attn(value, tuple(temporal_shapes), loc, attn,
+        out = ms_deform_attn(value.astype(jnp.float32),
+                             tuple(temporal_shapes), loc, attn,
                              mode='zeros', impl=self.impl)
-        return nn.Dense(self.d_model, name='output_proj',
+        return nn.Dense(self.d_model, name='output_proj', dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),
                         bias_init=nn.initializers.zeros)(out)
 
@@ -115,15 +118,18 @@ class FFN(nn.Module):
     d_model: int
     d_ffn: int
     dropout: float
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        h = nn.Dense(self.d_ffn, name='linear1')(x)
+        h = nn.Dense(self.d_ffn, name='linear1', dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name='linear2')(h)
+        h = nn.Dense(self.d_model, name='linear2', dtype=self.dtype)(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name='norm')(x)
+        # normalization statistics stay f32 for stability
+        return nn.LayerNorm(name='norm')(x.astype(jnp.float32)).astype(
+            self.dtype)
 
 
 class EncoderLayer(nn.Module):
@@ -135,18 +141,22 @@ class EncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     msda_impl: str = 'auto'
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, temporal_shapes,
                  pad_mask, deterministic: bool):
+        src = src.astype(self.dtype)
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                             self.n_points, impl=self.msda_impl,
-                            name='self_attn')(
-            src + pos, reference_points, src, temporal_shapes, pad_mask)
+                            dtype=self.dtype, name='self_attn')(
+            (src + pos).astype(self.dtype), reference_points, src,
+            temporal_shapes, pad_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(name='norm1')(src)
-        return FFN(self.d_model, self.d_ffn, self.dropout, name='ffn')(
-            src, deterministic)
+        src = nn.LayerNorm(name='norm1')(src.astype(jnp.float32)).astype(
+            self.dtype)
+        return FFN(self.d_model, self.d_ffn, self.dropout, dtype=self.dtype,
+                   name='ffn')(src, deterministic)
 
 
 class DecoderLayer(nn.Module):
@@ -159,11 +169,14 @@ class DecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     msda_impl: str = 'auto'
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src,
                  temporal_shapes, src_pad_mask, query_mask,
                  deterministic: bool):
+        tgt = tgt.astype(self.dtype)
+        query_pos = query_pos.astype(self.dtype)
         q = k = tgt + query_pos
         attn_mask = None
         if query_mask is not None:
@@ -171,20 +184,22 @@ class DecoderLayer(nn.Module):
             attn_mask = query_mask[:, None, None, :]
         tgt2 = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dropout_rate=self.dropout,
-            name='self_attn')(
+            dtype=self.dtype, name='self_attn')(
             q, k, tgt, mask=attn_mask, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(name='norm2')(tgt)
+        tgt = nn.LayerNorm(name='norm2')(tgt.astype(jnp.float32)).astype(
+            self.dtype)
 
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                             self.n_points, impl=self.msda_impl,
-                            name='cross_attn')(
+                            dtype=self.dtype, name='cross_attn')(
             tgt + query_pos, reference_points, src, temporal_shapes,
             src_pad_mask)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(name='norm1')(tgt)
-        return FFN(self.d_model, self.d_ffn, self.dropout, name='ffn')(
-            tgt, deterministic)
+        tgt = nn.LayerNorm(name='norm1')(tgt.astype(jnp.float32)).astype(
+            self.dtype)
+        return FFN(self.d_model, self.d_ffn, self.dropout, dtype=self.dtype,
+                   name='ffn')(tgt, deterministic)
 
 
 def encoder_reference_points(temporal_shapes: Sequence[int], valid_ratios):

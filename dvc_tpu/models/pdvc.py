@@ -62,6 +62,7 @@ class PDVCConfig:
     frame_embedding_num: int = 100
     transformer_input_type: str = 'queries'
     msda_impl: str = 'auto'
+    compute_dtype: str = 'float32'
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -94,6 +95,7 @@ class PDVCConfig:
             frame_embedding_num=opt.frame_embedding_num,
             transformer_input_type=opt.transformer_input_type,
             msda_impl=opt.msda_impl,
+            compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -133,15 +135,16 @@ class PDVC(nn.Module):
                                         name='base_encoder')
         self.level_embed = self.param('level_embed',
                                       nn.initializers.normal(1.0), (L, d))
+        dtype = jnp.bfloat16 if c.compute_dtype == 'bfloat16' else jnp.float32
         self.enc_stack = [
             EncoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
                          L, c.nheads, c.enc_n_points, msda_impl=c.msda_impl,
-                         name=f'encoder_layer_{i}')
+                         dtype=dtype, name=f'encoder_layer_{i}')
             for i in range(c.enc_layers)]
         self.dec_stack = [
             DecoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
                          L, c.nheads, c.dec_n_points, msda_impl=c.msda_impl,
-                         name=f'decoder_layer_{i}')
+                         dtype=dtype, name=f'decoder_layer_{i}')
             for i in range(c.dec_layers)]
         self.query_embed = self.param('query_embed',
                                       nn.initializers.normal(1.0),
@@ -212,9 +215,9 @@ class PDVC(nn.Module):
         memory = src_flat
         ref = encoder_reference_points(shapes, valid_ratios)
         for layer in self.enc_stack:
-            memory = layer(memory, pos_flat, ref, shapes, mask_flat,
-                           deterministic)
-        return memory, shapes, valid_ratios, mask_flat
+            memory = layer(memory, pos_flat.astype(memory.dtype), ref,
+                           shapes, mask_flat, deterministic)
+        return memory.astype(jnp.float32), shapes, valid_ratios, mask_flat
 
     # ------------------------------------------------------------------
     # decoder
@@ -241,6 +244,7 @@ class PDVC(nn.Module):
                              * valid_ratios[:, None, :, None])
             output = layer(output, query_pos, ref_input, memory, shapes,
                            mask_flat, query_mask, deterministic)
+            output = output.astype(jnp.float32)
 
             if not disable_iterative_refine and c.with_box_refine:
                 tmp = self.bbox_heads[lid](output)
