@@ -24,7 +24,10 @@ def make_fusion_trainer(opt, mesh=None):
     from dvc_tpu.models.fusion import FusionPDVC
     from dvc_tpu.train.trainer import Trainer
     cfg = PDVCConfig.from_opt(opt)
-    model = FusionPDVC(cfg, fusion_dim=opt.feature_dim)
+    heads = int(getattr(opt, 'fusion_heads', 32) or 32)
+    while opt.feature_dim % heads:   # keep the 32-head default divisible
+        heads //= 2
+    model = FusionPDVC(cfg, fusion_dim=opt.feature_dim, fusion_heads=heads)
     return Trainer(opt, mesh=mesh, model=model)
 
 
