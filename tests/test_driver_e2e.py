@@ -96,3 +96,35 @@ def test_train_driver_steps_per_dispatch(synth_env, tmp_path):
         batch_size_for_eval=3)
     save_folder = train(opt)
     assert os.path.exists(os.path.join(save_folder, 'model-last.ckpt'))
+
+
+def test_train_driver_resume(synth_env, tmp_path):
+    """start_from resumes epoch count and optimizer state."""
+    root, anno, feats, vocab, vsize, para = synth_env
+    from dvc_tpu.utils.config import load_config
+    from train import train
+
+    kw = dict(
+        save_dir=str(tmp_path / 'save'), seed=7,
+        train_caption_file=anno, val_caption_file=anno,
+        gt_file_for_eval=[anno], gt_file_for_para_eval=[],
+        dict_file=vocab, vocab_size=vsize,
+        visual_feature_type='tsp', visual_feature_folder=feats,
+        feature_dim=16, frame_embedding_num=24, gt_proposal_sample_num=4,
+        max_caption_len=10, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=2, transformer_ff_dim=64, num_queries=10,
+        input_encoding_size=32, rnn_size=64, att_hid_size=0,
+        with_box_refine=True, caption_decoder_type='light',
+        caption_loss_coef=1.0, count_loss_coef=0.5, batch_size=3,
+        lr=1e-3, save_checkpoint_every=1, max_eseq_length=10,
+        msda_impl='ref', invalid_video_json=[], batch_size_for_eval=3)
+    opt = load_config(id='resume_run', epoch=1, **kw)
+    save_folder = train(opt)
+    # resume for one more epoch
+    opt2 = load_config(id='resume_run', epoch=2, start_from='resume_run',
+                       start_from_mode='last', **kw)
+    save_folder2 = train(opt2)
+    assert save_folder2 == save_folder
+    from dvc_tpu.train import load_checkpoint
+    ck = load_checkpoint(os.path.join(save_folder, 'model-last.ckpt'))
+    assert ck['epoch'] == 2
