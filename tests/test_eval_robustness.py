@@ -57,3 +57,25 @@ def test_empty_sentence(gt, tmp_path):
     scores = eval_dvc(str(p), [gt], verbose=True)
     assert scores['METEOR'][0] == 0.0
     assert scores['Recall'][0] == 1.0
+
+
+def test_2021_protocol_random_garbage(gt, tmp_path):
+    """2021 protocol compares unmatched predictions against a random string
+    (reference evaluate2021.py:27-30) — scores stay finite and low."""
+    import json as _json
+    pred = {'results': {'v_a': [
+        {'timestamp': [9, 10], 'sentence': 'totally unrelated words',
+         'proposal_score': 0.5, 'sentence_score': -2.0,
+         'pred_event_count': 1}],
+        'v_b': [
+        {'timestamp': [0, 1], 'sentence': 'other words',
+         'proposal_score': 0.5, 'sentence_score': -2.0,
+         'pred_event_count': 1}]}}
+    p = tmp_path / 'p.json'
+    with open(p, 'w') as f:
+        _json.dump(pred, f)
+    from dvc_tpu.eval import eval_dvc
+    s18 = eval_dvc(str(p), [gt], verbose=True, version='2018')
+    s21 = eval_dvc(str(p), [gt], verbose=True, version='2021')
+    assert s21['METEOR'][0] < 0.05
+    assert s18['METEOR'][0] < 0.05
