@@ -89,15 +89,17 @@ def counter_loss(cfg, pred_count, gt_count):
 
 
 def layer_losses(cfg: CriterionConfig, pred_logits, pred_count, pred_boxes,
-                 gt_labels, gt_boxes, gt_mask, num_boxes):
+                 gt_labels, gt_boxes, gt_mask, num_boxes, col4row=None):
     """Losses for a single decoder layer's outputs.
 
     Returns (loss_dict, col4row) with col4row (B, G) the matched query per
-    gt slot.
+    gt slot; pass a precomputed ``col4row`` to skip matching (used by the
+    layer-batched criterion).
     """
     B, Nq, K = pred_logits.shape
-    col4row = hungarian_match(cfg.matcher, pred_logits, pred_boxes,
-                              gt_labels, gt_boxes, gt_mask)
+    if col4row is None:
+        col4row = hungarian_match(cfg.matcher, pred_logits, pred_boxes,
+                                  gt_labels, gt_boxes, gt_mask)
 
     # --- classification: scatter matched gt labels onto queries ----------
     # target_classes_onehot (B, Nq, K): 1 at (matched query, its label)
@@ -154,16 +156,27 @@ def criterion_forward(cfg: CriterionConfig, outputs, gt_labels, gt_boxes,
     D = outputs['pred_logits'].shape[0]
     num_boxes = jnp.maximum(gt_mask.sum().astype(jnp.float32), 1.0)
 
+    # one vmapped assignment solve over (layers x batch): the Dijkstra
+    # while-loop runs until every lane converges, so batching the lanes
+    # beats D sequential solves
+    layer_ids = list(range(D)) if aux_loss else [D - 1]
+    stacked = jax.vmap(
+        lambda lg, bx: hungarian_match(cfg.matcher, lg, bx, gt_labels,
+                                       gt_boxes, gt_mask))(
+        outputs['pred_logits'][jnp.asarray(layer_ids)],
+        outputs['pred_boxes'][jnp.asarray(layer_ids)])   # (D', B, G)
+
     losses, last_idx = layer_losses(
         cfg, outputs['pred_logits'][-1], outputs['pred_count'][-1],
-        outputs['pred_boxes'][-1], gt_labels, gt_boxes, gt_mask, num_boxes)
+        outputs['pred_boxes'][-1], gt_labels, gt_boxes, gt_mask, num_boxes,
+        col4row=stacked[-1])
     aux_idx = []
     if aux_loss:
         for i in range(D - 1):
             l_dict, idx = layer_losses(
                 cfg, outputs['pred_logits'][i], outputs['pred_count'][i],
                 outputs['pred_boxes'][i], gt_labels, gt_boxes, gt_mask,
-                num_boxes)
+                num_boxes, col4row=stacked[i])
             aux_idx.append(idx)
             losses.update({f'{k}_{i}': v for k, v in l_dict.items()})
     return losses, last_idx, aux_idx
