@@ -12,6 +12,8 @@ output_folder=${2:?output folder}
 model_folder=${3:?trained run folder (with model-best.ckpt + info.json)}
 language=${4:-en}
 tsp_checkpoint=${5:-}
+backbone=${BACKBONE:-mvit_v2_s}
+eval_model=${EVAL_MODEL:-best}
 
 mkdir -p "$output_folder"
 feature_dir="$output_folder/features"
@@ -31,7 +33,8 @@ ckpt_arg=""
 if [ -n "$tsp_checkpoint" ]; then ckpt_arg="--local-checkpoint $tsp_checkpoint"; fi
 python extract_features.py \
     --metadata-csv-filename "$output_folder/metadata.csv" \
-    --backbone mvit_v2_s --stride 16 \
+    --backbone "$backbone" --stride "${STRIDE:-16}" \
+    --clip-len "${CLIP_LEN:-16}" \
     --output-dir "$feature_dir" $ckpt_arg
 
 # 3. inference with fake captions (language metrics skipped)
@@ -44,6 +47,7 @@ keys = [os.path.splitext(os.path.basename(p))[0]
 create_fake_test_caption_file(keys, os.path.join(sys.argv[1], 'fake_caption.json'))
 EOF
 python eval.py --eval_save_dir "$model_folder" --eval_mode test \
+    --eval_model "$eval_model" \
     --eval_caption_file "$output_folder/fake_caption.json" \
     --eval_feature_folder "$feature_dir"
 
