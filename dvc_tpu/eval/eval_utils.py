@@ -25,6 +25,40 @@ def save_dvc_json(out_json, path):
         json.dump(out_json, f)
 
 
+def get_topn_from_dvcjson(dvc_json, out_json, top_n=3,
+                          ranking_key='proposal_score', score_thres=-1e8):
+    """Keep the top-N events per video by a ranking key
+    (reference eval_utils.py:82-107)."""
+    with open(dvc_json) as f:
+        data = json.load(f)['results']
+    out = {'version': 'VERSION 1.0',
+           'external_data': {'used:': True, 'details': 'GT proposals'},
+           'results': {}}
+    for video_name, info in data.items():
+        kept = sorted(info, key=lambda x: x[ranking_key], reverse=True)
+        kept = [p for p in kept if p[ranking_key] > score_thres][:top_n]
+        out['results'][video_name] = kept
+    save_dvc_json(out, out_json)
+    return out_json
+
+
+def convert_tapjson_from_dvcjson(anno_json, tap_json):
+    """Ground-truth annotations -> temporal-action-proposal json
+    (reference eval_utils.py:60-79)."""
+    with open(anno_json) as f:
+        data = json.load(f)
+    out = {'version': 'VERSION 1.0',
+           'external_data': {'used:': True, 'details': 'GT proposals'},
+           'results': {}}
+    for video_name, entry in data.items():
+        out['results'][video_name[2:]] = [
+            {'segment': ts, 'score': 1.0, 'sentence': s}
+            for ts, s in zip(entry['timestamps'], entry['sentences'])]
+    with open(tap_json, 'w') as f:
+        json.dump(out, f)
+    return tap_json
+
+
 def reranking(p_src, alpha, temperature):
     """Counter-guided reranking (reference eval_utils.py:138-157): joint
     score = alpha * sentence_score / len^temperature + proposal_score; keep

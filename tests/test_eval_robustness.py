@@ -79,3 +79,21 @@ def test_2021_protocol_random_garbage(gt, tmp_path):
     s21 = eval_dvc(str(p), [gt], verbose=True, version='2021')
     assert s21['METEOR'][0] < 0.05
     assert s18['METEOR'][0] < 0.05
+
+
+def test_get_topn(gt, tmp_path):
+    import json as _json
+    from dvc_tpu.eval.eval_utils import get_topn_from_dvcjson
+    pred = {'results': {'v_a': [
+        {'timestamp': [0, 5], 'sentence': 'a', 'proposal_score': 0.9},
+        {'timestamp': [1, 6], 'sentence': 'b', 'proposal_score': 0.5},
+        {'timestamp': [2, 7], 'sentence': 'c', 'proposal_score': 0.7},
+    ]}}
+    p = tmp_path / 'p.json'
+    with open(p, 'w') as f:
+        _json.dump(pred, f)
+    out = get_topn_from_dvcjson(str(p), str(tmp_path / 'top.json'), top_n=2)
+    with open(out) as f:
+        d = _json.load(f)
+    scores = [e['proposal_score'] for e in d['results']['v_a']]
+    assert scores == [0.9, 0.7]
