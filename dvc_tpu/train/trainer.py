@@ -218,7 +218,27 @@ class Trainer:
                  'step': state['step'] + len(batches)}
         return state, losses
 
+    @staticmethod
+    def bucket_caption_length(batch, multiple: int = 8):
+        """Slice the caption tensors to the batch's longest caption (rounded
+        up to ``multiple``) — the teacher-forcing scan then runs only as many
+        word steps as needed.  Exactly equivalent: the dropped steps are
+        fully masked, contributing zero loss.  A few length buckets means a
+        few compiled variants instead of one per length."""
+        cap_mask = np.asarray(batch['cap_mask'])
+        Lc = cap_mask.shape[-1]
+        longest = int(cap_mask.sum(-1).max()) if cap_mask.size else Lc
+        bucket = min(max(-(-max(longest, 2) // multiple) * multiple, 2), Lc)
+        if bucket == Lc:
+            return batch
+        out = dict(batch)
+        out['cap_tensor'] = np.asarray(batch['cap_tensor'])[..., :bucket]
+        out['cap_mask'] = cap_mask[..., :bucket]
+        return out
+
     def train_step(self, state, batch, lr, ss_prob, rng):
+        if getattr(self.opt, 'caption_len_bucketing', 1):
+            batch = self.bucket_caption_length(batch)
         batch = shard_batch(batch, self.mesh)
         params, opt_state, losses = self._train_step(
             state['params'], state['opt_state'], batch,

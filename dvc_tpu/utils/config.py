@@ -215,6 +215,9 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=['float32', 'bfloat16'])
     add('--msda_impl', type=str, default='auto',
         choices=['auto', 'ref', 'dense', 'pallas', 'pallas_interpret'])
+    add('--caption_len_bucketing', type=int, default=1,
+        help='slice caption tensors to the batch max length (exact-'
+             'equivalent; fewer teacher-forcing scan steps)')
     add('--steps_per_dispatch', type=int, default=1,
         help='>1 scans K optimizer steps per device dispatch '
              '(amortizes launch latency on long host links)')
