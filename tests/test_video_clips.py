@@ -82,3 +82,36 @@ def test_clip_batcher(video):
         assert x.shape == (4, 4, 112, 112, 3)
         total += k
     assert total == len(clips)
+
+
+def test_make_tsp_groundtruth_tool(video, tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+    path, fps, n = video
+    vid_dir = os.path.dirname(path)
+    key = os.path.splitext(os.path.basename(path))[0]
+    anno = {key[:13]: {'duration': n / fps, 'timestamps': [[0.0, 1.2]],
+                       'sentences': ['stir']}}
+    ap = tmp_path / 'anno.json'
+    with open(ap, 'w') as f:
+        _json.dump(anno, f)
+    out = tmp_path / 'gt.csv'
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(root, 'tools',
+                                       'make_tsp_groundtruth.py'),
+         '--anno', str(ap), '--video-dir', vid_dir, '--out', str(out),
+         '--clip-len', '8', '--stride', '8'],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import csv as _csv
+    with open(out) as f:
+        rows = list(_csv.DictReader(f))
+    assert rows
+    assert rows[0]['temporal-region-label'] == '1'  # first clip in the event
+    # the produced csv feeds train_tsp.load_clip_rows
+    from train_tsp import load_clip_rows
+    clips = load_clip_rows(str(out),
+                           ['action-label', 'temporal-region-label'])
+    assert clips[0]['labels'] == [0, 1]
