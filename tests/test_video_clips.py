@@ -102,7 +102,7 @@ def test_make_tsp_groundtruth_tool(video, tmp_path):
         [_sys.executable, os.path.join(root, 'tools',
                                        'make_tsp_groundtruth.py'),
          '--anno', str(ap), '--video-dir', vid_dir, '--out', str(out),
-         '--clip-len', '8', '--stride', '8'],
+         '--clip-len', '16', '--stride', '16'],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     import csv as _csv
