@@ -77,6 +77,10 @@ def main():
         'value': round(vps, 3),
         'unit': 'videos/s',
         'vs_baseline': round(vps / NOMINAL_REF_VPS, 3),
+        'baseline_note': ('denominator is a documented nominal estimate of '
+                          f'{NOMINAL_REF_VPS} videos/s for the reference '
+                          'torch loop (no published throughput); see '
+                          'BENCHMARKS.md'),
     }))
 
 

@@ -259,9 +259,12 @@ class BatchLoader:
         nb = len(self)
         for i in range(nb):
             idxs = order[i * self.batch_size:(i + 1) * self.batch_size]
+            n_real = len(idxs)
             if len(idxs) < self.batch_size:
                 # repeat last sample to keep static batch shape; mask via meta
                 idxs = np.concatenate(
                     [idxs, np.repeat(idxs[-1:], self.batch_size - len(idxs))])
             samples = [self.ds[int(j)] for j in idxs]
-            yield collate(samples, self.T, self.G, self.Lc)
+            batch, meta = collate(samples, self.T, self.G, self.Lc)
+            meta['n_real'] = n_real
+            yield batch, meta

@@ -37,7 +37,11 @@ def get_topn_from_dvcjson(dvc_json, out_json, top_n=3,
     for video_name, info in data.items():
         kept = sorted(info, key=lambda x: x[ranking_key], reverse=True)
         kept = [p for p in kept if p[ranking_key] > score_thres][:top_n]
-        out['results'][video_name] = kept
+        # the reference drops videos whose proposals were all filtered out
+        # (eval_utils.py:99-101); keeping empty lists would change
+        # valid_video_num / avg_proposal_num downstream
+        if kept:
+            out['results'][video_name] = kept
     save_dvc_json(out, out_json)
     return out_json
 
@@ -131,6 +135,12 @@ def evaluate(trainer, state, loader, dvc_json_path, logger=None,
                                             jnp.float32))
         records = to_dvc_records(post, meta['keys'], meta['durations'],
                                  translator)
+        # trim tail padding explicitly (the last batch repeats its final
+        # sample to keep static shapes; see BatchLoader)
+        n_real = meta.get('n_real')
+        if n_real is not None and n_real < len(meta['keys']):
+            keep = set(meta['keys'][:n_real])
+            records = {k: v for k, v in records.items() if k in keep}
         if score_threshold:
             records = {k: [p for p in v
                            if p['proposal_score'] > score_threshold]

@@ -39,6 +39,7 @@ def train(opt):
 
     epoch = 0
     best_val_score = -1e9
+    best_epoch = 0
     val_history, loss_history = {}, {}
 
     if opt.start_from:
@@ -47,6 +48,7 @@ def train(opt):
             prev = info.get(opt.start_from_mode, {})
             epoch = prev.get('epoch', 0)
             best_val_score = info.get('best_val_score', -1e9)
+            best_epoch = info.get('best', {}).get('epoch', epoch)
             logger.info(f'resuming from epoch {epoch}')
 
     train_dataset = DenseCaptionDataset(
@@ -135,6 +137,17 @@ def train(opt):
                 loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
             iteration += 1
             n += 1
+        # flush any trailing batches left when K>1 and the epoch length is
+        # not a multiple of K (otherwise they'd be silently dropped)
+        for batch in pending:
+            rng, step_rng = jax.random.split(rng)
+            state, losses = trainer.train_step(state, batch, lr,
+                                               ss_prob, step_rng)
+            for k, v in losses.items():
+                loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+            iteration += 1
+            n += 1
+        pending = []
         dt = time.time() - t0
         loss_avg = {k: round(v / max(n, 1), 3) for k, v in loss_sum.items()}
         vps = n * opt.batch_size / max(dt, 1e-9)
@@ -177,6 +190,7 @@ def train(opt):
                             f'(best {best_val_score:.4f})')
                 if current > best_val_score:
                     best_val_score = current
+                    best_epoch = epoch
                     save_checkpoint(save_folder, 'best', state, epoch)
                     logger.info('new best checkpoint saved')
             save_checkpoint(save_folder, 'last', state, epoch)
@@ -185,7 +199,7 @@ def train(opt):
             info = {
                 'best_val_score': best_val_score,
                 'last': {'epoch': epoch, 'opt': opt.to_dict()},
-                'best': {'epoch': epoch, 'opt': opt.to_dict()},
+                'best': {'epoch': best_epoch, 'opt': opt.to_dict()},
                 'val_history': val_history,
                 'loss_history': loss_history,
             }
