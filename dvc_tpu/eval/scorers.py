@@ -9,13 +9,16 @@ with the repo.  This module re-implements the published algorithms natively:
   length, tiny-epsilon smoothing on the per-instance scores).
 * CIDEr: Vedantam et al. 2015 (n-gram TF-IDF, df from the gts of the call).
 * ROUGE-L: Lin 2004, beta = 1.2 (coco-caption convention).
-* METEOR: Denkowski & Lavie 2014 formulation with exact + Porter-stem
-  matchers and the Meteor-1.5 'en' parameters (alpha=.85, beta=.2, gamma=.6,
-  delta=.75, stem weight .6, content/function-word distinction).  This is a
-  faithful re-implementation of the algorithm but without the paraphrase
-  table, so absolute values differ slightly from the jar; if a
+* METEOR: Denkowski & Lavie 2014 formulation with exact + Porter-stem +
+  paraphrase matchers and the Meteor-1.5 'en' parameters (alpha=.85,
+  beta=.2, gamma=.6, delta=.75, stem/paraphrase weight .6,
+  content/function-word distinction).  The paraphrase stage activates when
+  ``DVC_METEOR_PARAPHRASE`` points at a Meteor paraphrase table (the
+  ``paraphrase-en.gz`` artifact).  The greedy aligner approximates the
+  jar's beam search, so absolute values can differ slightly; if a
   ``meteor-1.5.jar`` is available set ``DVC_METEOR_JAR`` and it is used
-  instead (score-parity mode).
+  instead (score-parity mode), and ``tools/calibrate_meteor.py`` reports
+  the jar-vs-python divergence on a corpus.
 
 All scorers share the pycocoevalcap interface:
 ``compute_score(gts, res) -> (corpus_score, per_instance_scores)`` where
@@ -34,16 +37,28 @@ from collections import Counter, defaultdict
 # ---------------------------------------------------------------------------
 
 _PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
-          ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+          ".", "?", "!", ",", ":", "-", "--", "...", ";",
+          # raw forms of what the CoreNLP tokenizer escapes to the
+          # -LRB-/`` family before the reference's post-filter drops them
+          "(", ")", "[", "]", "{", "}", '"'}
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z0-9]+)?|[^\sa-z0-9]")
+# PTB clitic splitting: don't -> do n't, it's -> it 's, we'll -> we 'll ...
+_CLITIC_SPLIT = re.compile(r"(?<=[a-z])(n't|'s|'re|'ve|'ll|'d|'m)(?![a-z0-9])")
+
+_TOKEN_RE = re.compile(
+    r"n't|'(?:s|re|ve|ll|d|m)(?![a-z0-9])"  # split-off clitics
+    r"|\d+(?:[.,]\d+)*"                     # 3.5 / 1,000 stay one token
+    r"|[a-z0-9]+(?:['-][a-z0-9]+)*"         # words incl. stir-fry, o'clock
+    r"|[^\sa-z0-9]")
 
 
 def ptb_tokenize(caption: str) -> str:
-    """Lowercase, split off punctuation, drop PTB punctuation tokens
-    (mirrors the PTBTokenizer post-filtering, ``ptbtokenizer.py``)."""
-    toks = _TOKEN_RE.findall(caption.lower())
-    return ' '.join(t for t in toks if t not in _PUNCT)
+    """Lowercase, split clitics and punctuation the PTB way, drop the PTB
+    punctuation tokens (mirrors the Stanford PTBTokenizer + the
+    post-filtering in ``ptbtokenizer.py``): hyphenated words and decimal /
+    thousands-separated numbers stay single tokens; ``don't`` -> ``do n't``."""
+    s = _CLITIC_SPLIT.sub(r' \1', caption.lower())
+    return ' '.join(t for t in _TOKEN_RE.findall(s) if t not in _PUNCT)
 
 
 def tokenize_dict(caps: dict) -> dict:
@@ -356,12 +371,47 @@ under again further once all any both each few more most other some'''.split())
 
 _M_ALPHA, _M_BETA, _M_GAMMA, _M_DELTA = 0.85, 0.2, 0.6, 0.75
 _STEM_WEIGHT = 0.6
+_PARAPHRASE_WEIGHT = 0.6        # meteor-1.5 'en' matcher weight
+
+_paraphrase_cache: dict = {}
 
 
-def _meteor_align(hyp, ref):
-    """Greedy two-stage alignment: exact matches then stem matches, each
-    preferring the alignment that minimizes crossing (approximated by
-    left-to-right matching).  Returns list of (hyp_i, ref_j, weight)."""
+def load_paraphrase_table(path: str):
+    """Load a Meteor paraphrase table (the ``paraphrase-en.gz`` artifact —
+    plain or gzipped text, two phrases per line separated by ``|||`` or a
+    tab) into a symmetric phrase -> {phrases} map.  Cached per path."""
+    if path in _paraphrase_cache:
+        return _paraphrase_cache[path]
+    import gzip
+    table: dict = defaultdict(set)
+    opener = gzip.open if path.endswith('.gz') else open
+    with opener(path, 'rt', encoding='utf-8', errors='replace') as f:
+        for line in f:
+            parts = ([p.strip() for p in line.split('|||')]
+                     if '|||' in line else line.rstrip('\n').split('\t'))
+            if len(parts) < 2 or not parts[0] or not parts[1]:
+                continue
+            a, b = parts[0], parts[1]
+            if a != b:
+                table[a].add(b)
+                table[b].add(a)
+    table = dict(table)
+    _paraphrase_cache[path] = table
+    return table
+
+
+def _active_paraphrase_table():
+    path = os.environ.get('DVC_METEOR_PARAPHRASE')
+    if path and os.path.exists(path):
+        return load_paraphrase_table(path)
+    return None
+
+
+def _meteor_align(hyp, ref, paraphrases=None):
+    """Greedy staged alignment (meteor-1.5 matcher order): exact, stem,
+    then paraphrase phrases, each preferring the alignment that minimizes
+    crossing (approximated by left-to-right matching).
+    Returns list of (hyp_i, ref_j, weight)."""
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
     matches = []
@@ -385,19 +435,51 @@ def _meteor_align(hyp, ref):
                 used_h[i] = True
                 used_r[j] = True
                 break
+    # paraphrase phrases (longest-first greedy over unmatched spans,
+    # meteor-1.5's final matcher stage)
+    if paraphrases:
+        max_len = 6
+        for li in range(max_len, 0, -1):
+            for i in range(len(hyp) - li + 1):
+                if any(used_h[i:i + li]):
+                    continue
+                cands = paraphrases.get(' '.join(hyp[i:i + li]))
+                if not cands:
+                    continue
+                done = False
+                for lj in range(max_len, 0, -1):
+                    for j in range(len(ref) - lj + 1):
+                        if any(used_r[j:j + lj]):
+                            continue
+                        if ' '.join(ref[j:j + lj]) in cands:
+                            # cover both spans; pseudo-align token pairs so
+                            # chunk counting sees one contiguous run, and
+                            # each covered token is weighted exactly once
+                            for k in range(max(li, lj)):
+                                matches.append(
+                                    (i + min(k, li - 1), j + min(k, lj - 1),
+                                     _PARAPHRASE_WEIGHT))
+                            for k in range(li):
+                                used_h[i + k] = True
+                            for k in range(lj):
+                                used_r[j + k] = True
+                            done = True
+                            break
+                    if done:
+                        break
     return sorted(matches)
 
 
-def _meteor_sentence(hyp_toks, ref_toks):
+def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None):
     if not hyp_toks or not ref_toks:
         return 0.0
-    matches = _meteor_align(hyp_toks, ref_toks)
+    matches = _meteor_align(hyp_toks, ref_toks, paraphrases)
     if not matches:
         return 0.0
 
-    def weighted_count(toks, idxs_weights):
+    def weighted_count(toks, idx_weights):
         content = fn = 0.0
-        for i, w in idxs_weights:
+        for i, w in idx_weights.items():
             if toks[i] in _FUNCTION_WORDS:
                 fn += w
             else:
@@ -408,8 +490,15 @@ def _meteor_sentence(hyp_toks, ref_toks):
         c = sum(1 for t in toks if t not in _FUNCTION_WORDS)
         return c, len(toks) - c
 
-    h_c, h_f = weighted_count(hyp_toks, [(i, w) for i, _, w in matches])
-    r_c, r_f = weighted_count(ref_toks, [(j, w) for _, j, w in matches])
+    # phrase matches can repeat an index across pseudo-pairs: weight each
+    # covered token once (its matcher weight)
+    h_w: dict = {}
+    r_w: dict = {}
+    for i, j, w in matches:
+        h_w[i] = max(h_w.get(i, 0.0), w)
+        r_w[j] = max(r_w.get(j, 0.0), w)
+    h_c, h_f = weighted_count(hyp_toks, h_w)
+    r_c, r_f = weighted_count(ref_toks, r_w)
     th_c, th_f = totals(hyp_toks)
     tr_c, tr_f = totals(ref_toks)
     d = _M_DELTA
@@ -422,14 +511,18 @@ def _meteor_sentence(hyp_toks, ref_toks):
     f_mean = P * R / (_M_ALPHA * P + (1 - _M_ALPHA) * R)
 
     # fragmentation: count chunks of contiguous, order-preserving matches
+    # (steps of <=1 on both sides stay in-chunk so a phrase pseudo-run with
+    # repeated indices counts as one chunk)
     chunks = 1
     for k in range(1, len(matches)):
         i0, j0, _ = matches[k - 1]
         i1, j1, _ = matches[k]
-        if not (i1 == i0 + 1 and j1 == j0 + 1):
+        if not (0 <= i1 - i0 <= 1 and 0 <= j1 - j0 <= 1):
             chunks += 1
-    frag = chunks / len(matches)
-    penalty = _M_GAMMA * (frag ** _M_BETA) if len(matches) > 0 else 0.0
+    # meteor-1.5 fragmentation denominator: average covered words per side
+    avg_matches = (len(h_w) + len(r_w)) / 2.0
+    frag = chunks / avg_matches
+    penalty = _M_GAMMA * (frag ** _M_BETA)
     return f_mean * (1.0 - penalty)
 
 
@@ -437,10 +530,11 @@ def meteor_compute_score(gts, res):
     jar = os.environ.get('DVC_METEOR_JAR')
     if jar and os.path.exists(jar):
         return _meteor_jar_compute_score(gts, res, jar)
+    paraphrases = _active_paraphrase_table()
     per_instance = []
     for key in gts:
         hyp = res[key][0].split()
-        best = max((_meteor_sentence(hyp, ref.split())
+        best = max((_meteor_sentence(hyp, ref.split(), paraphrases)
                     for ref in gts[key]), default=0.0)
         per_instance.append(best)
     mean = sum(per_instance) / len(per_instance) if per_instance else 0.0

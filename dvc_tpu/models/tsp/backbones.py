@@ -169,18 +169,50 @@ class MViTConfig:
     temporal_size: int = 16
     spatial_size: int = 224
     mlp_ratio: float = 4.0
-    kv_stride0: int = 8      # spatial kv pooling of stage 0, halved per stage
+    kv_stride0: int = 8      # spatial kv pooling of stage 0 (adaptive decay)
     feature_dim: int = 768
 
 
-def _pool_shape(shape, stride):
-    t, h, w = shape
-    st, sh, sw = stride
-    return (-(-t // st), -(-h // sh), -(-w // sw))
+@dataclasses.dataclass(frozen=True)
+class MViTBlockSpec:
+    """Per-block wiring, mirroring torchvision's mvit_v2_s block table."""
+    in_ch: int
+    out_ch: int
+    heads: int
+    q_stride: tuple
+    kv_stride: tuple
 
 
-class PoolConv(nn.Module):
-    """Depthwise 3x3x3 conv pooling + LayerNorm (MViTv2 pooling attention).
+def mvit_block_specs(cfg: MViTConfig):
+    """Block table for MViTv2 (torchvision ``mvit_v2_s`` semantics).
+
+    Channels AND heads double in the same block that pools Q — the first
+    block of each stage after the first (the official MViTv2 config's
+    DIM_MUL/HEAD_MUL at blocks 1, 3, 14 with DIM_MUL_IN_ATT=True).  The kv
+    pooling stride is adaptive: it starts at ``kv_stride0`` and halves at
+    every Q-pooling block (including that block itself), floored at 1.
+    """
+    specs = []
+    dim = cfg.embed_dim
+    kv = cfg.kv_stride0
+    for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.heads)):
+        for b in range(depth):
+            pool = (b == 0 and stage > 0)
+            if pool:
+                kv = max(kv // 2, 1)
+            out_ch = dim * 2 if pool else dim
+            specs.append(MViTBlockSpec(
+                dim, out_ch, heads,
+                (1, 2, 2) if pool else (1, 1, 1),
+                (1, max(kv, 1), max(kv, 1))))
+            dim = out_ch
+    return specs
+
+
+class PoolCls(nn.Module):
+    """Attention-tensor pooling with class-token bypass (torchvision
+    ``Pool``): depthwise 3x3x3 conv (stride = pooling stride) over the THW
+    grid, the class token re-attached, then LayerNorm over the result.
 
     XLA lowers depthwise 3-D convs poorly on TPU (the grid of per-channel
     convs serializes); the same operator expressed as 27 strided-slice
@@ -188,20 +220,21 @@ class PoolConv(nn.Module):
     MViTv2-S stage-0 shapes.
     """
     dim_per_head: int
-    heads: int
     stride: Sequence[int]
 
     @nn.compact
     def __call__(self, x, thw):
-        # x: (B, heads, L, dim_per_head)
-        B, H, L, D = x.shape
+        # x: (B, heads, 1+L, dim_per_head); token 0 is CLS and bypasses
+        # the conv pooling (torchvision mvit.py Pool.forward)
+        B, H, _, D = x.shape
         t, h, w = thw
         st, sh, sw = self.stride
-        kernel = self.param('pool_conv_kernel',
+        cls_tok, grid = x[:, :, :1], x[:, :, 1:]
+        kernel = self.param('kernel',
                             nn.initializers.lecun_normal(
                                 in_axis=(0, 1, 2), out_axis=3),
                             (3, 3, 3, D))
-        x5 = x.reshape(B * H, t, h, w, D)
+        x5 = grid.reshape(B * H, t, h, w, D)
         pad = jnp.pad(x5, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         nt = (t - 1) // st + 1
         nh = (h - 1) // sh + 1
@@ -218,22 +251,25 @@ class PoolConv(nn.Module):
                         (1, st, sh, sw, 1))
                     out = out + sl * kernel[dt, dh, dw]
         out = out.reshape(B, H, nt * nh * nw, D)
-        out = nn.LayerNorm(name='pool_norm')(out)
+        out = jnp.concatenate([cls_tok, out], axis=2)
+        # norm AFTER pooling, over the full sequence incl. CLS
+        out = nn.LayerNorm(name='norm', epsilon=1e-5)(out)
         return out, (nt, nh, nw)
 
 
 def _rel_pos_bias(attn, q_shape, k_shape, rel_h, rel_w, rel_t, q):
-    """Decomposed relative position bias (MViTv2 §3.1).
+    """Decomposed relative position bias (MViTv2 §3.1; torchvision
+    ``_add_rel_pos``).  Applies only to the non-CLS rows/columns.
 
-    attn: (B, H, Lq, Lk); q: (B, H, Lq, D).  rel_{h,w,t}: learned tables
-    (2*max-1, D).  Adds q·rel terms per decomposed axis.
+    attn: (B, H, 1+Lq, 1+Lk); q: (B, H, 1+Lq, D).  rel_{h,w,t}: learned
+    tables (2*max-1, D).  Adds q·rel terms per decomposed axis.
     """
-    B, nH, Lq, D = q.shape
+    B, nH, _, D = q.shape
     qt, qh, qw = q_shape
     kt, kh, kw = k_shape
 
     def rel_idx(q_n, k_n, table):
-        # index relative distance table with max-size interpolation-free map
+        # relative-distance table lookup with asymmetric-size scaling
         ratio_q = max(k_n / q_n, 1.0)
         ratio_k = max(q_n / k_n, 1.0)
         qi = np.arange(q_n)[:, None] * ratio_q
@@ -241,7 +277,7 @@ def _rel_pos_bias(attn, q_shape, k_shape, rel_h, rel_w, rel_t, q):
         idx = (qi - ki) + (k_n - 1) * ratio_k
         return table[jnp.asarray(idx.astype(np.int64))]        # (q_n,k_n,D)
 
-    q5 = q.reshape(B, nH, qt, qh, qw, D)
+    q5 = q[:, :, 1:].reshape(B, nH, qt, qh, qw, D)
     Rt = rel_idx(qt, kt, rel_t)
     Rh = rel_idx(qh, kh, rel_h)
     Rw = rel_idx(qw, kw, rel_w)
@@ -251,32 +287,30 @@ def _rel_pos_bias(attn, q_shape, k_shape, rel_h, rel_w, rel_t, q):
     bias = (bias_t[..., :, None, None]
             + bias_h[..., None, :, None]
             + bias_w[..., None, None, :])              # (B,H,qt,qh,qw,kt,kh,kw)
-    return attn + bias.reshape(B, nH, Lq, kt * kh * kw)
+    bias = bias.reshape(B, nH, qt * qh * qw, kt * kh * kw)
+    return attn.at[:, :, 1:, 1:].add(bias)
 
 
 class MultiscaleAttention(nn.Module):
-    dim_out: int
-    heads: int
-    q_stride: Sequence[int]
-    kv_stride: Sequence[int]
-    input_size: Sequence[int]   # (T, H, W) of this block's input
+    spec: MViTBlockSpec
 
     @nn.compact
     def __call__(self, x, thw):
-        B, L, C = x.shape
-        H = self.heads
-        D = self.dim_out // H
-        qkv = nn.Dense(3 * self.dim_out, name='qkv')(x)
-        qkv = qkv.reshape(B, L, 3, H, D).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # x: (B, 1+L, in_ch) — already norm1-ed by the block
+        B, N, _ = x.shape
+        H = self.spec.heads
+        D = self.spec.out_ch // H
+        qkv = nn.Dense(3 * self.spec.out_ch, name='qkv')(x)
+        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                # (B, H, 1+L, D)
 
-        q, q_shape = PoolConv(D, H, self.q_stride, name='pool_q')(q, thw)
-        k, k_shape = PoolConv(D, H, self.kv_stride, name='pool_k')(k, thw)
-        v, v_shape = PoolConv(D, H, self.kv_stride, name='pool_v')(v, thw)
+        q, q_shape = PoolCls(D, self.spec.q_stride, name='pool_q')(q, thw)
+        k, k_shape = PoolCls(D, self.spec.kv_stride, name='pool_k')(k, thw)
+        v, _ = PoolCls(D, self.spec.kv_stride, name='pool_v')(v, thw)
 
         attn = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                           preferred_element_type=jnp.float32) / np.sqrt(D)
-        # decomposed relative position embeddings
+        # decomposed relative position embeddings (non-CLS block of attn)
         max_t = max(q_shape[0], k_shape[0])
         max_h = max(q_shape[1], k_shape[1])
         max_w = max(q_shape[2], k_shape[2])
@@ -290,50 +324,56 @@ class MultiscaleAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
                          preferred_element_type=jnp.float32)
-        out = out + q                                   # residual pooling (v2)
+        # residual pooling (v2), CLS excluded (residual_with_cls_embed=False)
+        out = out.at[:, :, 1:].add(q[:, :, 1:])
         Lq = out.shape[2]
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim_out)
-        out = nn.Dense(self.dim_out, name='proj')(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.spec.out_ch)
+        out = nn.Dense(self.spec.out_ch, name='proj')(out)
         return out, q_shape
 
 
+def _skip_max_pool(x, thw, stride):
+    """Residual-path max pool with CLS bypass: kernel = stride+1 (where
+    stride>1), padding kernel//2 — torchvision MultiscaleBlock.pool_skip."""
+    B, _, C = x.shape
+    t, h, w = thw
+    cls_tok, grid = x[:, :1], x[:, 1:]
+    window = tuple(s + 1 if s > 1 else s for s in stride)
+    padding = tuple((k // 2, k // 2) for k in window)
+    g = grid.reshape(B, t, h, w, C)
+    g = nn.max_pool(g, window_shape=window, strides=tuple(stride),
+                    padding=padding)
+    g = g.reshape(B, -1, C)
+    return jnp.concatenate([cls_tok, g], axis=1)
+
+
 class MultiscaleBlock(nn.Module):
-    dim: int
-    dim_out: int
-    heads: int
-    q_stride: Sequence[int]
-    kv_stride: Sequence[int]
-    input_size: Sequence[int]
+    spec: MViTBlockSpec
     mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x, thw):
+        spec = self.spec
         shortcut = x
-        h = nn.LayerNorm(name='norm1')(x)
-        if self.dim != self.dim_out:
-            # expand channels at stage transition (on the normed input)
-            shortcut = nn.Dense(self.dim_out, name='shortcut_proj')(h)
-        attn_out, new_thw = MultiscaleAttention(
-            self.dim_out, self.heads, self.q_stride, self.kv_stride,
-            self.input_size, name='attn')(h, thw)
-        if tuple(self.q_stride) != (1, 1, 1):
-            # pool the residual path to the new resolution (max pool)
-            B, L, C = shortcut.shape
-            t, h_, w_ = thw
-            s = shortcut.reshape(B, t, h_, w_, C)
-            s = nn.max_pool(s, window_shape=tuple(self.q_stride),
-                            strides=tuple(self.q_stride))
-            shortcut = s.reshape(B, -1, C)
+        h = nn.LayerNorm(name='norm1', epsilon=1e-5)(x)
+        attn_out, new_thw = MultiscaleAttention(spec, name='attn')(h, thw)
+        if spec.in_ch != spec.out_ch:
+            # expand channels on the normed input (proj_after_attn=True)
+            shortcut = nn.Dense(spec.out_ch, name='shortcut_proj')(h)
+        if tuple(spec.q_stride) != (1, 1, 1):
+            shortcut = _skip_max_pool(shortcut, thw, spec.q_stride)
         x = shortcut + attn_out
-        h2 = nn.LayerNorm(name='norm2')(x)
-        h2 = nn.Dense(int(self.dim_out * self.mlp_ratio), name='mlp_fc1')(h2)
-        h2 = nn.gelu(h2)
-        h2 = nn.Dense(self.dim_out, name='mlp_fc2')(h2)
+        h2 = nn.LayerNorm(name='norm2', epsilon=1e-5)(x)
+        h2 = nn.Dense(int(spec.out_ch * self.mlp_ratio), name='mlp_fc1')(h2)
+        h2 = nn.gelu(h2, approximate=False)
+        h2 = nn.Dense(spec.out_ch, name='mlp_fc2')(h2)
         return x + h2, new_thw
 
 
 class MViTV2(nn.Module):
-    """MViTv2 feature extractor; returns pooled clip features (B, 768)."""
+    """MViTv2 feature extractor; returns the CLS-token features (B, 768) —
+    what the reference's TSP usage consumes (TSPmodel.py:82-85 strips the
+    classification head, keeping ``x[:, 0]``)."""
     cfg: MViTConfig = MViTConfig()
 
     @nn.compact
@@ -345,26 +385,15 @@ class MViTV2(nn.Module):
         B, t, h, w, C = x.shape
         thw = (t, h, w)
         x = x.reshape(B, t * h * w, C)
+        cls = self.param('cls_token', nn.initializers.zeros, (C,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, C)), x], axis=1)
 
-        dim = c.embed_dim
-        kv_sp = c.kv_stride0
-        block_idx = 0
-        for stage, (depth, heads) in enumerate(zip(c.depths, c.heads)):
-            for b in range(depth):
-                last_of_stage = (b == depth - 1 and
-                                 stage < len(c.depths) - 1)
-                first_of_stage = (b == 0 and stage > 0)
-                q_stride = (1, 2, 2) if first_of_stage else (1, 1, 1)
-                dim_out = dim * 2 if last_of_stage else dim
-                kv_stride = (1, max(kv_sp, 1), max(kv_sp, 1))
-                x, thw = MultiscaleBlock(
-                    dim, dim_out, heads, q_stride, kv_stride, thw,
-                    c.mlp_ratio, name=f'block_{block_idx}')(x, thw)
-                dim = dim_out
-                block_idx += 1
-            kv_sp = max(kv_sp // 2, 1)
-        x = nn.LayerNorm(name='norm')(x)
-        return x.mean(axis=1)                      # (B, 768)
+        for i, spec in enumerate(mvit_block_specs(c)):
+            x, thw = MultiscaleBlock(spec, c.mlp_ratio,
+                                     name=f'block_{i}')(x, thw)
+        x = nn.LayerNorm(name='norm', epsilon=1e-5)(x)
+        return x[:, 0]
 
 
 def mvit_v2_s():

@@ -89,16 +89,27 @@ def main():
 
     if args.local_checkpoint:
         if args.local_checkpoint.endswith('.pth'):
-            from dvc_tpu.models.tsp import (convert_videoresnet,
+            from dvc_tpu.models.tsp import (convert_mvit,
+                                            convert_videoresnet,
                                             load_torch_state_dict)
             sd = load_torch_state_dict(args.local_checkpoint)
-            layers = {'r2plus1d_34': (3, 4, 6, 3)}.get(
-                args.backbone, (2, 2, 2, 2))
-            conv_type = 'r3d' if args.backbone == 'r3d_18' else 'r2plus1d'
-            params, stats = convert_videoresnet(sd, layers, conv_type)
-            variables = {'params': {**variables['params'],
-                                    'features': params},
-                         'batch_stats': {'features': stats}}
+            if args.backbone == 'mvit_v2_s':
+                params, heads = convert_mvit(
+                    sd, variables['params']['features'])
+                new_params = {**variables['params'], 'features': params}
+                for fc, tree in heads.items():
+                    if fc in new_params:
+                        new_params[fc] = tree
+                variables = {'params': new_params}
+            else:
+                layers = {'r2plus1d_34': (3, 4, 6, 3)}.get(
+                    args.backbone, (2, 2, 2, 2))
+                conv_type = ('r3d' if args.backbone == 'r3d_18'
+                             else 'r2plus1d')
+                params, stats = convert_videoresnet(sd, layers, conv_type)
+                variables = {'params': {**variables['params'],
+                                        'features': params},
+                             'batch_stats': {'features': stats}}
         else:
             import pickle
             with open(args.local_checkpoint, 'rb') as f:

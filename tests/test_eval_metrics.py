@@ -13,7 +13,7 @@ from dvc_tpu.eval import (Bleu, Cider, Meteor, Rouge, chased_dp_assignment,
 # ---------------------------------------------------------------- scorers
 def test_ptb_tokenize():
     assert ptb_tokenize("A man is Cooking, with oil.") == 'a man is cooking with oil'
-    assert ptb_tokenize("it's hot!") == "it's hot"
+    assert ptb_tokenize("it's hot!") == "it 's hot"
 
 
 def test_porter_stem():
