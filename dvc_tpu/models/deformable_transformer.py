@@ -58,6 +58,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     impl: str = 'auto'
+    boundary: str = 'zeros'
     dtype: object = jnp.float32
 
     def sampling_locations(self, query, reference_points, temporal_shapes):
@@ -108,7 +109,7 @@ class MSDeformAttn(nn.Module):
                                             temporal_shapes)
         out = ms_deform_attn(value.astype(jnp.float32),
                              tuple(temporal_shapes), loc, attn,
-                             mode='zeros', impl=self.impl)
+                             mode=self.boundary, impl=self.impl)
         return nn.Dense(self.d_model, name='output_proj', dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),
                         bias_init=nn.initializers.zeros)(out)
@@ -141,6 +142,7 @@ class EncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     msda_impl: str = 'auto'
+    msda_boundary: str = 'zeros'
     dtype: object = jnp.float32
 
     @nn.compact
@@ -149,6 +151,7 @@ class EncoderLayer(nn.Module):
         src = src.astype(self.dtype)
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                             self.n_points, impl=self.msda_impl,
+                            boundary=self.msda_boundary,
                             dtype=self.dtype, name='self_attn')(
             (src + pos).astype(self.dtype), reference_points, src,
             temporal_shapes, pad_mask)
@@ -169,6 +172,7 @@ class DecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     msda_impl: str = 'auto'
+    msda_boundary: str = 'zeros'
     dtype: object = jnp.float32
 
     @nn.compact
@@ -192,6 +196,7 @@ class DecoderLayer(nn.Module):
 
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                             self.n_points, impl=self.msda_impl,
+                            boundary=self.msda_boundary,
                             dtype=self.dtype, name='cross_attn')(
             tgt + query_pos, reference_points, src, temporal_shapes,
             src_pad_mask)

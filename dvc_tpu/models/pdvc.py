@@ -62,6 +62,7 @@ class PDVCConfig:
     frame_embedding_num: int = 100
     transformer_input_type: str = 'queries'
     msda_impl: str = 'auto'
+    msda_boundary: str = 'zeros'
     compute_dtype: str = 'float32'
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
@@ -95,6 +96,7 @@ class PDVCConfig:
             frame_embedding_num=opt.frame_embedding_num,
             transformer_input_type=opt.transformer_input_type,
             msda_impl=opt.msda_impl,
+            msda_boundary=getattr(opt, 'msda_boundary', 'zeros'),
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
@@ -139,11 +141,13 @@ class PDVC(nn.Module):
         self.enc_stack = [
             EncoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
                          L, c.nheads, c.enc_n_points, msda_impl=c.msda_impl,
+                         msda_boundary=c.msda_boundary,
                          dtype=dtype, name=f'encoder_layer_{i}')
             for i in range(c.enc_layers)]
         self.dec_stack = [
             DecoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
                          L, c.nheads, c.dec_n_points, msda_impl=c.msda_impl,
+                         msda_boundary=c.msda_boundary,
                          dtype=dtype, name=f'decoder_layer_{i}')
             for i in range(c.dec_layers)]
         self.query_embed = self.param('query_embed',

@@ -1,0 +1,209 @@
+"""Reference (torch) PDVC checkpoint -> flax parameter conversion.
+
+Lets users of the reference implementation load their trained PDVC ``.pth``
+checkpoints (``save/*/model-best.pth``, saved as
+``{'model': state_dict, ...}`` by reference ``train.py:230-238``) directly
+into this framework's flax model, and powers the cross-implementation
+forward-parity test (``tests/test_pdvc_torch_parity.py``).
+
+Layout notes (torch key -> flax path):
+
+* ``base_encoder.input_proj.{i}.0/.1`` (Conv1d + GroupNorm) ->
+  ``base_encoder/input_proj_{i}`` + ``input_proj_{i}_norm``
+* ``transformer.encoder.layers.{i}.*`` -> ``encoder_layer_{i}/*`` with
+  norm2 -> ``ffn/norm`` (the flax FFN owns its post-norm)
+* ``transformer.decoder.layers.{i}.*`` -> ``decoder_layer_{i}/*``; the
+  packed ``self_attn.in_proj_weight`` splits into flax MHA q/k/v heads;
+  norm3 -> ``ffn/norm``
+* ``caption_head.{i}`` -> shared ``caption_head`` (the reference shares one
+  head across decoder layers when ``share_caption_head`` — pdvc.py:111-118)
+* ``transformer.decoder.bbox_head.*`` are aliases of ``bbox_head.*`` under
+  box refinement (pdvc.py:150-156) and are skipped
+* ``transformer.pos_trans*`` / ``enc_output*`` only matter in two-stage
+  ('gt_proposals') mode, which keeps no flax analogue parameters: skipped
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tsp.converter import _shape_mismatches
+
+_IGNORABLE_PREFIXES = (
+    'transformer.decoder.bbox_head.',   # aliases of bbox_head.* (box refine)
+    'transformer.pos_trans',            # two-stage only
+    'transformer.enc_output',           # two-stage only
+    'transformer.reference_points_cap', # unused vestigial in some builds
+)
+
+
+def _t_lin(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def convert_pdvc(state_dict, flax_params=None, nheads=None):
+    """torch PDVC ``state_dict`` -> flax params tree.
+
+    ``nheads`` is needed to unpack the decoder's torch
+    ``nn.MultiheadAttention`` packed qkv into flax per-head kernels; when
+    ``flax_params`` is given it is inferred from the tree instead.
+    If ``flax_params`` is provided every converted leaf is shape-checked
+    and a ``ValueError`` naming all mismatches is raised.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        sd[k] = np.asarray(v)
+
+    if flax_params is not None and nheads is None:
+        qk = flax_params.get('decoder_layer_0', {}).get(
+            'self_attn', {}).get('query', {}).get('kernel')
+        if qk is not None:
+            nheads = qk.shape[1]
+    if nheads is None:
+        raise ValueError('convert_pdvc: pass nheads or flax_params')
+
+    used = set()
+
+    def take(key):
+        if key not in sd:
+            raise ValueError(
+                f'convert_pdvc: expected torch key "{key}" not found — the '
+                'checkpoint layout does not match the reference PDVC')
+        used.add(key)
+        return sd[key]
+
+    params: dict = {}
+
+    def put(path, val):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    def lin(dst, src):
+        put(dst + ('kernel',), _t_lin(take(src + '.weight')))
+        put(dst + ('bias',), take(src + '.bias'))
+
+    def norm(dst, src):
+        put(dst + ('scale',), take(src + '.weight'))
+        put(dst + ('bias',), take(src + '.bias'))
+
+    # ---- base encoder -------------------------------------------------
+    lin(('base_encoder', 'pos_embed', 'duration_embed_layer'),
+        'base_encoder.pos_embed.duration_embed_layer')
+    n_levels = 0
+    while f'base_encoder.input_proj.{n_levels}.0.weight' in sd:
+        n_levels += 1
+    for i in range(n_levels):
+        w = take(f'base_encoder.input_proj.{i}.0.weight')   # (O, I, k)
+        put(('base_encoder', f'input_proj_{i}', 'kernel'),
+            np.transpose(w, (2, 1, 0)))
+        put(('base_encoder', f'input_proj_{i}', 'bias'),
+            take(f'base_encoder.input_proj.{i}.0.bias'))
+        norm(('base_encoder', f'input_proj_{i}_norm'),
+             f'base_encoder.input_proj.{i}.1')
+
+    # ---- transformer ---------------------------------------------------
+    put(('level_embed',), take('transformer.level_embed'))
+    lin(('reference_points',), 'transformer.reference_points')
+
+    def msda(dst, src):
+        for m in ('sampling_offsets', 'attention_weights', 'value_proj',
+                  'output_proj'):
+            lin(dst + (m,), f'{src}.{m}')
+
+    i = 0
+    while f'transformer.encoder.layers.{i}.norm1.weight' in sd:
+        src = f'transformer.encoder.layers.{i}'
+        dst = (f'encoder_layer_{i}',)
+        msda(dst + ('self_attn',), f'{src}.self_attn')
+        norm(dst + ('norm1',), f'{src}.norm1')
+        lin(dst + ('ffn', 'linear1'), f'{src}.linear1')
+        lin(dst + ('ffn', 'linear2'), f'{src}.linear2')
+        norm(dst + ('ffn', 'norm'), f'{src}.norm2')
+        i += 1
+
+    i = 0
+    while f'transformer.decoder.layers.{i}.norm1.weight' in sd:
+        src = f'transformer.decoder.layers.{i}'
+        dst = (f'decoder_layer_{i}',)
+        msda(dst + ('cross_attn',), f'{src}.cross_attn')
+        norm(dst + ('norm1',), f'{src}.norm1')
+        norm(dst + ('norm2',), f'{src}.norm2')
+        lin(dst + ('ffn', 'linear1'), f'{src}.linear1')
+        lin(dst + ('ffn', 'linear2'), f'{src}.linear2')
+        norm(dst + ('ffn', 'norm'), f'{src}.norm3')
+        # packed torch MultiheadAttention -> flax per-head q/k/v
+        w = take(f'{src}.self_attn.in_proj_weight')          # (3E, E)
+        b = take(f'{src}.self_attn.in_proj_bias')            # (3E,)
+        E = w.shape[1]
+        hd = E // nheads
+        for name, wi, bi in zip(('query', 'key', 'value'),
+                                np.split(w, 3, axis=0),
+                                np.split(b, 3, axis=0)):
+            put(dst + ('self_attn', name, 'kernel'),
+                _t_lin(wi).reshape(E, nheads, hd))
+            put(dst + ('self_attn', name, 'bias'),
+                bi.reshape(nheads, hd))
+        wo = take(f'{src}.self_attn.out_proj.weight')        # (E, E)
+        put(dst + ('self_attn', 'out', 'kernel'),
+            _t_lin(wo).reshape(nheads, hd, E))
+        put(dst + ('self_attn', 'out', 'bias'),
+            take(f'{src}.self_attn.out_proj.bias'))
+        i += 1
+
+    # ---- queries + prediction heads -------------------------------------
+    put(('query_embed',), take('query_embed.weight'))
+    i = 0
+    while f'class_head.{i}.weight' in sd:
+        lin((f'class_head_{i}',), f'class_head.{i}')
+        lin((f'count_head_{i}',), f'count_head.{i}')
+        for j in range(3):
+            lin((f'bbox_head_{i}', f'layer{j}'), f'bbox_head.{i}.layers.{j}')
+        i += 1
+
+    # ---- caption head (shared across layers) ---------------------------
+    if 'caption_head.0.embed.weight' in sd:
+        base = 'caption_head.0'
+        # verify sharing: all layer heads must alias layer 0
+        li = 1
+        while f'caption_head.{li}.embed.weight' in sd:
+            if not np.array_equal(sd[f'caption_head.{li}.embed.weight'],
+                                  sd[f'{base}.embed.weight']):
+                raise ValueError(
+                    'convert_pdvc: per-layer (unshared) caption heads are '
+                    'not supported — the flax model shares one head '
+                    '(reference default share_caption_head=1)')
+            for k in list(sd):
+                if k.startswith(f'caption_head.{li}.'):
+                    used.add(k)
+            li += 1
+        put(('caption_head', 'embed'), take(f'{base}.embed.weight'))
+        put(('caption_head', 'logit_w'), _t_lin(take(f'{base}.logit.weight')))
+        put(('caption_head', 'logit_b'), take(f'{base}.logit.bias'))
+        for k in list(sd):
+            if not k.startswith(base + '.core.'):
+                continue
+            tail = k[len(base + '.core.'):]
+            if tail.startswith('rnn.'):
+                put(('caption_head', tail[len('rnn.'):].replace(
+                    'weight_ih_', 'rnn_w_ih_').replace(
+                    'weight_hh_', 'rnn_w_hh_')), _t_lin(sd[k]))
+                used.add(k)
+
+    leftovers = [k for k in sd if k not in used
+                 and not any(k.startswith(p) for p in _IGNORABLE_PREFIXES)]
+    if leftovers:
+        raise ValueError(
+            'convert_pdvc: unconsumed checkpoint tensors (layout mismatch '
+            f'with the reference PDVC): {sorted(leftovers)[:10]}')
+
+    if flax_params is not None:
+        mismatches = _shape_mismatches(flax_params, params)
+        if mismatches:
+            raise ValueError(
+                'convert_pdvc: converted shapes do not match the flax PDVC '
+                'tree:\n  ' + '\n  '.join(mismatches[:15]))
+    return params
