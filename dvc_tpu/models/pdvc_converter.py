@@ -56,6 +56,9 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
             k = k[len('module.'):]
         sd[k] = np.asarray(v)
 
+    if flax_params is not None and 'params' in flax_params \
+            and 'decoder_layer_0' not in flax_params:
+        flax_params = flax_params['params']   # accept a full variables dict
     if flax_params is not None and nheads is None:
         qk = flax_params.get('decoder_layer_0', {}).get(
             'self_attn', {}).get('query', {}).get('kernel')

@@ -296,7 +296,18 @@ def save_checkpoint(save_dir: str, tag: str, state: dict, epoch: int,
     return path
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, flax_params=None):
+    """Load a checkpoint: flax pickle, Orbax directory, or a reference
+    torch PDVC ``.pth`` (converted on the fly via ``convert_pdvc`` —
+    pass ``flax_params`` for shape validation / head-count inference)."""
+    if path.endswith('.pth'):
+        from ..models.pdvc_converter import convert_pdvc
+        from ..models.tsp.converter import load_torch_state_dict
+        sd = load_torch_state_dict(path)
+        converted = convert_pdvc(sd, flax_params)
+        return {'epoch': 0, 'step': 0,
+                'params': {'params': jax.tree_util.tree_map(
+                    jnp.asarray, converted)}}
     if path.endswith('.orbax') or os.path.isdir(path):
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:

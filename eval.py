@@ -38,6 +38,9 @@ def main():
     parser.add_argument('--eval_caption_file', type=str, default=None)
     parser.add_argument('--eval_feature_folder', type=str, default=None)
     parser.add_argument('--eval_batch_size', type=int, default=None)
+    parser.add_argument('--eval_checkpoint_path', type=str, default=None,
+                        help='explicit checkpoint path; supports flax '
+                             '.ckpt/.orbax and reference torch PDVC .pth')
     parser.add_argument('--skip_lang_eval', action='store_true')
     args = parser.parse_args()
 
@@ -84,11 +87,11 @@ def main():
                              args.eval_batch_size or opt.batch_size_for_eval,
                              shuffle=False, opt=opt)
         trainer = Trainer(opt)
-    ck_path = os.path.join(args.eval_save_dir,
-                           f'model-{args.eval_model}.ckpt')
-    ck = load_checkpoint(ck_path)
+    ck_path = args.eval_checkpoint_path or os.path.join(
+        args.eval_save_dir, f'model-{args.eval_model}.ckpt')
     batch0, _ = next(iter(loader))
     state = trainer.init_state(batch0)
+    ck = load_checkpoint(ck_path, flax_params=state['params'])
     state['params'] = ck['params']
     logger.info(f'loaded {ck_path} (epoch {ck["epoch"]})')
 

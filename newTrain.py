@@ -67,7 +67,9 @@ def main(opt):
 
     if opt.pretrain and not opt.start_from:
         logger.info(f'loading pretrained PDVC from {opt.pretrain_path}')
-        ck = load_checkpoint(opt.pretrain_path)
+        ck = load_checkpoint(
+            opt.pretrain_path,
+            flax_params={'params': state['params']['params']['pdvc']})
         # pretrained plain-PDVC params restore under the fusion model's
         # 'pdvc' scope
         pdvc_params = state['params']['params']['pdvc']

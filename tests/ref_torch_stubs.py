@@ -1,0 +1,44 @@
+"""Import-time stubs that let the reference (read-only, /root/reference)
+PDVC torch code run on CPU in this environment: the compiled CUDA extension
+and torchvision are absent; only trivially-stubable surface is needed
+(the CPU forward path uses ``ms_deform_attn_core_pytorch``, see reference
+``pdvc/ops/modules/ms_deform_attn.py:119-124``)."""
+
+import logging
+import sys
+import types
+
+
+def install():
+    sys.modules.setdefault('MultiScaleDeformableAttention',
+                           types.ModuleType('MultiScaleDeformableAttention'))
+
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv_ops = types.ModuleType('torchvision.ops')
+        tv_boxes = types.ModuleType('torchvision.ops.boxes')
+
+        def box_area(boxes):
+            return ((boxes[:, 2] - boxes[:, 0])
+                    * (boxes[:, 3] - boxes[:, 1]))
+
+        tv_boxes.box_area = box_area
+        tv_ops.boxes = tv_boxes
+        tv.ops = tv_ops
+        tv.__version__ = '0.15.0'
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.ops'] = tv_ops
+        sys.modules['torchvision.ops.boxes'] = tv_boxes
+
+    if 'colorlog' not in sys.modules:
+        colorlog = types.ModuleType('colorlog')
+        colorlog.getLogger = logging.getLogger
+
+        class _ColoredFormatter(logging.Formatter):
+            def __init__(self, fmt=None, *a, **k):
+                super().__init__(
+                    fmt.replace('%(log_color)s', '') if fmt else None)
+
+        colorlog.ColoredFormatter = _ColoredFormatter
+        colorlog.StreamHandler = logging.StreamHandler
+        sys.modules['colorlog'] = colorlog

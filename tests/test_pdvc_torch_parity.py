@@ -1,0 +1,163 @@
+"""Cross-implementation forward parity: flax PDVC vs the reference torch
+PDVC (read-only import from /root/reference), same weights, same batch.
+
+This is the one offline test that validates formula-level parity of the
+whole stack at once — focal/counter/L1/gIoU/self-IoU losses, Hungarian
+matching, and the matched caption NLL — against the reference
+(``pdvc/pdvc.py:236-323`` + ``pdvc/criterion.py``).  Weights transfer via
+``convert_pdvc``; the flax model runs with ``msda_boundary='border'`` to
+match the reference's CPU fallback sampling semantics
+(``ops/functions/ms_deform_attn_func.py:58-59``; its CUDA path is 'zeros',
+which is the flax default for training).
+
+hidden_dim must be 512: the reference's duration embedding hard-codes a
+256-wide table that only broadcasts when num_pos_feats == 256
+(``position_encoding.py:35-56``).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REF = '/root/reference'
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, 'pdvc')),
+    reason='reference pdvc not available')
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_torch_stubs import install as _install_stubs  # noqa: E402
+
+_install_stubs()
+if REF not in sys.path:
+    sys.path.append(REF)   # append: the repo's own packages take precedence
+
+
+def _opt(**over):
+    from dvc_tpu.utils.config import load_config
+    base = dict(
+        id='parity', seed=7, vocab_size=20, feature_dim=16,
+        frame_embedding_num=24, gt_proposal_sample_num=4, max_caption_len=10,
+        hidden_dim=512, nheads=8, enc_layers=2, dec_layers=2,
+        transformer_ff_dim=256, num_queries=10, input_encoding_size=32,
+        rnn_size=64, att_hid_size=0, with_box_refine=True,
+        caption_decoder_type='light', batch_size=2, max_eseq_length=10,
+        msda_impl='ref', msda_boundary='border', device='cpu',
+        transformer_dropout_prob=0.0, drop_prob=0.0, caption_loss_coef=1.0,
+        count_loss_coef=0.5)
+    base.update(over)
+    return load_config(**base)
+
+
+def _numpy_batch(opt, seed=3):
+    """Static-shape flax batch + the matching ragged torch ``dt``."""
+    rng = np.random.default_rng(seed)
+    B, T, C = opt.batch_size, opt.frame_embedding_num, opt.feature_dim
+    G, Lc = opt.gt_proposal_sample_num, opt.max_caption_len
+    durations = [30.0, 44.0]
+    n_events = [3, 2]
+    video = rng.standard_normal((B, T, C)).astype(np.float32)
+
+    boxes = np.zeros((B, G, 2), np.float32)
+    gmask = np.zeros((B, G), bool)
+    caps = np.zeros((B, G, Lc), np.int64)
+    cmask = np.zeros((B, G, Lc), bool)
+    targets = []
+    flat_caps, flat_cmask = [], []
+    for b in range(B):
+        ts = []
+        for j in range(n_events[b]):
+            s = rng.uniform(0, 0.7) * durations[b]
+            e = s + rng.uniform(0.1, 0.25) * durations[b]
+            e = min(e, durations[b])
+            ts.append((s, e))
+            boxes[b, j] = [(s + e) / (2 * durations[b]),
+                           (e - s) / durations[b]]
+            gmask[b, j] = True
+            n_words = int(rng.integers(3, Lc - 2))
+            row = np.zeros(Lc, np.int64)
+            row[1:1 + n_words] = rng.integers(1, opt.vocab_size, n_words)
+            # BOS=0 at position 0; EOS=0 after the words (stays 0)
+            caps[b, j] = row
+            cmask[b, j, :n_words + 2] = True
+            flat_caps.append(row)
+            flat_cmask.append(cmask[b, j].copy())
+        targets.append({
+            'boxes': torch.tensor(boxes[b, :n_events[b]]).float(),
+            'labels': torch.zeros(n_events[b], dtype=torch.long),
+            'masks': None, 'image_id': f'v{b}'})
+
+    batch = {
+        'video_tensor': video,
+        'video_mask': np.ones((B, T), bool),
+        'video_length': np.array(
+            [[T, durations[b], n_events[b]] for b in range(B)], np.float32),
+        'gt_boxes': boxes, 'gt_boxes_mask': gmask,
+        'gt_labels': np.zeros((B, G), np.int32),
+        'cap_tensor': caps.astype(np.int32), 'cap_mask': cmask,
+    }
+
+    import collections
+    dt = collections.defaultdict(lambda: None)
+    dt.update({
+        'video_tensor': torch.from_numpy(video),
+        'video_mask': torch.ones(B, T, dtype=torch.bool),
+        'video_length': torch.from_numpy(batch['video_length']),
+        'video_target': targets,
+        'gt_boxes': torch.from_numpy(boxes),
+        'gt_boxes_mask': torch.from_numpy(gmask),
+        'cap_tensor': torch.from_numpy(np.stack(flat_caps)).long(),
+        'cap_mask': torch.from_numpy(np.stack(flat_cmask)),
+    })
+    return batch, dt
+
+
+@pytest.mark.slow
+def test_pdvc_forward_loss_parity():
+    opt = _opt()
+    from pdvc.pdvc import build as ref_build
+    torch.manual_seed(11)
+    model, criterion, _ = ref_build(opt)
+    model.train()
+
+    batch, dt = _numpy_batch(opt)
+    with torch.no_grad():
+        _, ref_loss = model(dt, criterion, opt.transformer_input_type)
+    ref_loss = {k: float(v) for k, v in ref_loss.items()}
+
+    import jax
+
+    from dvc_tpu.models.pdvc_converter import convert_pdvc
+    from dvc_tpu.train import Trainer
+
+    trainer = Trainer(opt)
+    state = trainer.init_state(batch, seed=0)
+    import jax.numpy as jnp
+    params = convert_pdvc(model.state_dict(), state['params'])
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    out, losses = trainer.model.apply(
+        {'params': params}, batch, eval_mode=False, ss_prob=0.0,
+        rngs={'dropout': jax.random.PRNGKey(0),
+              'sample': jax.random.PRNGKey(1)})
+    losses = {k: float(v) for k, v in losses.items()}
+
+    common = sorted(set(ref_loss) & set(losses))
+    # every headline loss must be present on both sides
+    for must in ('loss_ce', 'loss_bbox', 'loss_giou', 'loss_counter',
+                 'loss_self_iou', 'loss_caption', 'loss_ce_0',
+                 'loss_caption_0', 'cardinality_error'):
+        assert must in common, f'{must} missing from common keys {common}'
+    mism = {k: (losses[k], ref_loss[k]) for k in common
+            if not np.isclose(losses[k], ref_loss[k], rtol=2e-4, atol=1e-5)}
+    assert not mism, f'loss mismatches (flax, torch): {mism}'
+
+
+@pytest.mark.slow
+def test_pdvc_converter_rejects_garbage():
+    from dvc_tpu.models.pdvc_converter import convert_pdvc
+    with pytest.raises(ValueError, match='convert_pdvc'):
+        convert_pdvc({'foo.weight': np.zeros((3, 3))}, nheads=8)

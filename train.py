@@ -72,7 +72,7 @@ def train(opt):
     if opt.pretrain and not opt.start_from:
         logger.info(f'loading pretrained ({opt.pretrain}) from '
                     f'{opt.pretrain_path}')
-        ck = load_checkpoint(opt.pretrain_path)
+        ck = load_checkpoint(opt.pretrain_path, flax_params=state['params'])
         state['params'] = filtered_restore(state['params'], ck['params'],
                                            opt.pretrain)
 
