@@ -34,3 +34,15 @@ def test_inheritance_chain_override():
     # inherited from the root pdvcl recipe
     assert opt.with_box_refine == 1
     assert opt.count_loss_coef == 0.5
+
+
+def test_all_26_reference_recipes_shipped():
+    """Recipe-for-recipe parity with /root/reference/cfgs (SURVEY.md §2.7):
+    a reference user's config name keeps working unchanged."""
+    ref_dir = '/root/reference/cfgs'
+    if not os.path.isdir(ref_dir):
+        pytest.skip('reference cfgs not available')
+    ref = {os.path.basename(p) for p in glob.glob(ref_dir + '/*.yml')}
+    ours = {os.path.basename(p)
+            for p in glob.glob(os.path.join(ROOT, 'cfgs', '*.yml'))}
+    assert ref - ours == set(), f'missing recipes: {sorted(ref - ours)}'
