@@ -34,10 +34,16 @@ import numpy as np
 # VideoResNet (R3D / R(2+1)D)
 # ---------------------------------------------------------------------------
 
-def _bn(name, momentum=0.9, eps=1e-3):
-    # Caffe2 parity for the IG65M weights (reference backbone.py:25-28)
-    return nn.BatchNorm(use_running_average=True, momentum=momentum,
-                        epsilon=eps, name=name)
+def _bn(name, train=False, momentum=0.9, eps=1e-3):
+    """BatchNorm; ``train=True`` computes batch statistics and updates the
+    running stats (mutable 'batch_stats') — under pjit data sharding the
+    batch reduction is global across devices, i.e. SyncBatchNorm semantics
+    (reference TSP train.py:241-242) with zero extra code.  ``momentum`` is
+    the torch convention (weight of the new batch stat); flax's is the
+    complement.  eps=1e-3 is Caffe2 parity for the IG65M weights
+    (reference backbone.py:25-28)."""
+    return nn.BatchNorm(use_running_average=not train,
+                        momentum=1.0 - momentum, epsilon=eps, name=name)
 
 
 class Conv3DSimple(nn.Module):
@@ -59,6 +65,8 @@ class Conv2Plus1D(nn.Module):
     in_planes: int
     out_planes: int
     stride: int = 1
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -67,7 +75,7 @@ class Conv2Plus1D(nn.Module):
         x = nn.Conv(mid, (1, 3, 3), strides=(1, self.stride, self.stride),
                     padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
                     name='conv_s')(x)
-        x = _bn('bn_mid')(x)
+        x = _bn('bn_mid', train, self.bn_momentum, self.bn_eps)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_planes, (3, 1, 1),
                     strides=(self.stride, 1, 1),
@@ -81,27 +89,31 @@ class BasicBlock(nn.Module):
     in_planes: int
     conv_type: str  # 'r3d' | 'r2plus1d'
     stride: int = 1
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train=False):
-        conv = (Conv3DSimple if self.conv_type == 'r3d' else Conv2Plus1D)
-
         def make(name, in_p, stride):
             if self.conv_type == 'r3d':
                 return Conv3DSimple(self.planes, stride, name=name)
-            return Conv2Plus1D(in_p, self.planes, stride, name=name)
+            return Conv2Plus1D(in_p, self.planes, stride,
+                               self.bn_momentum, self.bn_eps, name=name)
+
+        def bn(name):
+            return _bn(name, train, self.bn_momentum, self.bn_eps)
 
         identity = x
-        out = make('conv1', self.in_planes, self.stride)(x)
-        out = _bn('bn1')(out)
+        out = make('conv1', self.in_planes, self.stride)(x, train)
+        out = bn('bn1')(out)
         out = nn.relu(out)
-        out = make('conv2', self.planes, 1)(out)
-        out = _bn('bn2')(out)
+        out = make('conv2', self.planes, 1)(out, train)
+        out = bn('bn2')(out)
         if self.stride != 1 or self.in_planes != self.planes:
             identity = nn.Conv(self.planes, (1, 1, 1),
                                strides=(self.stride,) * 3, use_bias=False,
                                name='downsample_conv')(x)
-            identity = _bn('downsample_bn')(identity)
+            identity = bn('downsample_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -110,18 +122,25 @@ class VideoResNet(nn.Module):
 
     Returns pooled clip features (B, feature_size=512); matches the TSP
     usage where the classifier fc is stripped (reference model.py:70-73).
+    BN eps/momentum: torchvision defaults for the 18-layer variants; the
+    IG65M R(2+1)D-34 uses Caffe2 values (reference backbone.py:25-28).
     """
     conv_type: str = 'r2plus1d'
     layers: Sequence[int] = (3, 4, 6, 3)     # 34-layer; 18 uses (2,2,2,2)
+    bn_momentum: float = 0.1                 # torch convention
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train=False):
+        def bn(name):
+            return _bn(name, train, self.bn_momentum, self.bn_eps)
+
         # stem
         if self.conv_type == 'r2plus1d':
             x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
                         padding=[(0, 0), (3, 3), (3, 3)], use_bias=False,
                         name='stem_conv_s')(x)
-            x = _bn('stem_bn_s')(x)
+            x = bn('stem_bn_s')(x)
             x = nn.relu(x)
             x = nn.Conv(64, (3, 1, 1), strides=(1, 1, 1),
                         padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
@@ -130,7 +149,7 @@ class VideoResNet(nn.Module):
             x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2),
                         padding=[(1, 1), (3, 3), (3, 3)], use_bias=False,
                         name='stem_conv')(x)
-        x = _bn('stem_bn')(x)
+        x = bn('stem_bn')(x)
         x = nn.relu(x)
 
         in_planes = 64
@@ -139,6 +158,7 @@ class VideoResNet(nn.Module):
             for b in range(blocks):
                 x = BasicBlock(planes, in_planes, self.conv_type,
                                stride if b == 0 else 1,
+                               self.bn_momentum, self.bn_eps,
                                name=f'layer{stage + 1}_{b}')(x, train)
                 in_planes = planes
         # global average pool over (T, H, W)
@@ -154,7 +174,9 @@ def r2plus1d_18():
 
 
 def r2plus1d_34():
-    return VideoResNet(conv_type='r2plus1d', layers=(3, 4, 6, 3))
+    # Caffe2 BN parity for the IG65M weights (reference backbone.py:25-28)
+    return VideoResNet(conv_type='r2plus1d', layers=(3, 4, 6, 3),
+                       bn_momentum=0.9, bn_eps=1e-3)
 
 
 # ---------------------------------------------------------------------------

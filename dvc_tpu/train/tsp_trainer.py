@@ -9,8 +9,15 @@ TPU-native: one jitted step, batch sharded over the mesh's data axis (the
 psum gradient reduction over ICI is XLA's job — DDP-allreduce equivalent);
 per-group learning rates become per-leaf multipliers on the update tree
 (backbone vs fc, stem frozen at 0 as in reference train.py:245-260);
-BatchNorm runs in inference mode on frozen stats (TSP fine-tunes from
-Kinetics/IG65M checkpoints), sidestepping SyncBatchNorm entirely.
+SGD weight decay matches the torch formula (decay added to the gradient
+before momentum, reference train.py:276-277).
+
+BatchNorm: with ``tsp_train_bn`` the running statistics update during
+training (mutable batch_stats); the batch-mean reduction under pjit data
+sharding is computed over the global batch, which IS SyncBatchNorm
+(reference train.py:241-242) — XLA inserts the cross-device collective.
+Default remains frozen stats (TSP fine-tunes from Kinetics/IG65M
+checkpoints barely move them, and frozen is cheaper).
 """
 
 from __future__ import annotations
@@ -69,9 +76,14 @@ class TSPTrainer:
             num_heads=getattr(opt, 'tsp_num_heads', 2),
             concat_gvf=bool(getattr(opt, 'global_video_features', None)))
         self.alphas = tuple(getattr(opt, 'loss_alphas', (1.0, 1.0)))
+        self.train_bn = bool(getattr(opt, 'tsp_train_bn', 0))
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=getattr(opt, 'tpu_mesh_data', 1))
+        # torch SGD semantics (reference train.py:276-277): g += wd * p,
+        # then momentum, then the (per-leaf) lr scaling outside
+        wd = float(getattr(opt, 'tsp_weight_decay', 0.005))
         self.tx = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.trace(decay=getattr(opt, 'momentum', 0.9)),
             optax.scale(-1.0))
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
@@ -94,14 +106,20 @@ class TSPTrainer:
         def loss_fn(params):
             v = dict(variables)
             v['params'] = params
-            logits = self.model.apply(v, batch['clip'],
-                                      gvf=batch.get('gvf'))
+            if self.train_bn:
+                logits, mutated = self.model.apply(
+                    v, batch['clip'], gvf=batch.get('gvf'), train=True,
+                    mutable=['batch_stats'])
+            else:
+                logits = self.model.apply(v, batch['clip'],
+                                          gvf=batch.get('gvf'))
+                mutated = {}
             losses = [tsp_cross_entropy(lg, batch[f'label{i}'])
                       for i, lg in enumerate(logits)]
             total = sum(a * l for a, l in zip(self.alphas, losses))
-            return total, losses
+            return total, (losses, mutated)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(variables['params'])
         updates, opt_state = self.tx.update(grads, opt_state,
                                             variables['params'])
@@ -110,6 +128,9 @@ class TSPTrainer:
         params = optax.apply_updates(variables['params'], updates)
         new_vars = dict(variables)
         new_vars['params'] = params
+        if self.train_bn and 'batch_stats' in mutated:
+            new_vars['batch_stats'] = jax.lax.stop_gradient(
+                mutated['batch_stats'])
         metrics = {'total': total}
         for i, l in enumerate(losses):
             metrics[f'head{i}'] = l

@@ -188,6 +188,11 @@ def _build_parser() -> argparse.ArgumentParser:
     add('--lr_milestones', type=int, nargs='+', default=[4, 6])
     add('--lr_gamma', type=float, default=0.1)
     add('--momentum', type=float, default=0.9)
+    add('--tsp_weight_decay', type=float, default=0.005,
+        help='TSP SGD weight decay (reference TSP --weight-decay)')
+    add('--tsp_train_bn', type=int, default=0,
+        help='update BatchNorm running stats during TSP training '
+             '(SyncBN-equivalent under the data mesh)')
     add('--label_columns', type=str, nargs='+',
         default=['action-label', 'temporal-region-label'])
     add('--loss_alphas', type=float, nargs='+', default=[1.0, 1.0])

@@ -82,3 +82,76 @@ def test_tsp_train_step_with_gvf():
     state = trainer.init_state(batch)
     state, metrics = trainer.train_step(state, batch, iteration=0)
     assert np.isfinite(float(metrics['total']))
+
+
+def test_sgd_weight_decay_matches_torch():
+    """The optimizer chain reproduces torch.optim.SGD(momentum, wd)
+    (reference TSP train.py:276-277) step for step."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import optax
+
+    wd, mom, lr = 0.005, 0.9, 0.01
+    w0 = np.asarray([1.0, -2.0, 0.5], np.float32)
+    grads = [np.asarray(g, np.float32) for g in
+             ([0.3, -0.1, 0.7], [-0.2, 0.4, 0.0], [0.05, 0.05, -0.3])]
+
+    tp = torch.nn.Parameter(torch.tensor(w0))
+    opt_t = torch.optim.SGD([tp], lr=lr, momentum=mom, weight_decay=wd)
+    for g in grads:
+        opt_t.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt_t.step()
+
+    tx = optax.chain(optax.add_decayed_weights(wd),
+                     optax.trace(decay=mom), optax.scale(-1.0))
+    p = jnp.asarray(w0)
+    st = tx.init(p)
+    for g in grads:
+        u, st = tx.update(jnp.asarray(g), st, p)
+        p = p + lr * u     # the trainer applies lr outside the chain
+    np.testing.assert_allclose(np.asarray(p), tp.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_tsp_train_bn_updates_stats_and_syncs():
+    """tsp_train_bn updates the BN running stats; the global-batch
+    statistics are identical on a 1-device and an 8-device data mesh
+    (SyncBatchNorm equivalence, reference train.py:241-242)."""
+    rng = np.random.default_rng(1)
+    batch = {
+        'clip': jnp.asarray(rng.standard_normal(
+            (8, 4, 16, 16, 3)).astype(np.float32)),
+        'label0': jnp.asarray([1, -1, 0, 2, 1, 0, -1, 2]),
+        'label1': jnp.asarray([0, 1, 1, 0, 1, 0, 0, 1]),
+    }
+
+    def run(n_mesh):
+        opt = load_config(backbone_tsp='r3d_18', tsp_num_classes=(3, 2),
+                          tsp_num_heads=2, loss_alphas=[1.0, 0.5],
+                          backbone_lr=1e-4, fc_lr=1e-3, tsp_train_bn=1,
+                          tsp_weight_decay=0.005, tpu_mesh_data=n_mesh)
+        trainer = TSPTrainer(opt)
+        state = trainer.init_state(batch, seed=0)
+        stats0 = jax.tree_util.tree_map(
+            np.asarray, state['variables']['batch_stats'])
+        for it in range(2):
+            state, metrics = trainer.train_step(state, batch, iteration=it)
+        assert np.isfinite(float(metrics['total']))
+        stats1 = jax.tree_util.tree_map(
+            np.asarray, state['variables']['batch_stats'])
+        return stats0, stats1
+
+    s0_a, s1_a = run(1)
+    # stats actually moved
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), s0_a, s1_a)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
+
+    n_dev = jax.device_count()
+    if n_dev >= 8:
+        _, s1_b = run(8)
+        flat_a = jax.tree_util.tree_leaves(s1_a)
+        flat_b = jax.tree_util.tree_leaves(s1_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

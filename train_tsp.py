@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument('--lr-milestones', type=int, nargs='+', default=[4, 6])
     p.add_argument('--lr-gamma', type=float, default=0.1)
     p.add_argument('--lr-warmup-epochs', type=int, default=2)
+    p.add_argument('--weight-decay', type=float, default=0.005)
+    p.add_argument('--train-bn', type=int, default=0,
+                   help='update BN running stats (SyncBN-equivalent '
+                        'across the data mesh)')
     p.add_argument('--label-columns', type=str, nargs='+',
                    default=['action-label', 'temporal-region-label'])
     p.add_argument('--loss-alphas', type=float, nargs='+', default=[1.0, 1.0])
@@ -92,6 +96,8 @@ def main():
                       loss_alphas=args.loss_alphas,
                       backbone_lr=args.backbone_lr, fc_lr=args.fc_lr,
                       global_video_features=args.global_video_features,
+                      tsp_weight_decay=args.weight_decay,
+                      tsp_train_bn=args.train_bn,
                       tpu_mesh_data=args.mesh_data)
     steps_per_epoch = max(len(clips) // args.batch_size, 1)
     opt.lr_milestones = tuple(m * steps_per_epoch
