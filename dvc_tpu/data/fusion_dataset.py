@@ -5,15 +5,22 @@ caption annotations by 13-char YouTube id (NewDataset.py:104-108) and loads
 pre-extracted TSP/MViTv2 clip features; HuBERT audio features are extracted
 per segment and disk-cached (NewModel.py:106-136).
 
-TPU adaptation: clip segments default to uniform windows matching the
-visual feature count when no metadata CSV is given (stride-16 TSP clips are
-contiguous uniform windows anyway); visual + audio streams are rescaled
+Clip segments come from the TSP metadata/clip CSV when one is given
+(``metadata_csv`` / opt ``valid_csv_filename`` / ``train_csv_filename``),
+joined to annotations by 13-char id exactly as the reference does
+(NewDataset.py:54-108): a metadata CSV (filename, fps, video-frames) is
+expanded to clip windows with the eval-dataset formula
+(eval_video_dataset_2.py:91-115); a labeled clip CSV (clip-t-start /
+t-start rows) is used row-for-row.  Without a CSV the segments fall back
+to uniform windows — exactly equivalent for contiguous stride-16
+extraction, approximate otherwise.  Visual + audio streams are rescaled
 together to the static ``frame_embedding_num`` so every batch compiles to
 one shape.  Audio failures degrade to zero features as in the reference.
 """
 
 from __future__ import annotations
 
+import csv
 import json
 import os
 
@@ -21,6 +28,35 @@ import numpy as np
 
 from .audio import HUBERT_DIM, HubertExtractor
 from .dataset import DenseCaptionDataset, collate, resize_feature
+from .video_clips import make_clip_table
+
+
+def load_clip_segments_csv(path: str, clip_len: int = 16,
+                           frame_rate: float = 15.0, stride: int = 16):
+    """CSV -> {13-char id: [(t_start, t_end), ...]}.
+
+    Handles both reference CSV schemas: a video metadata table
+    (filename, fps, video-frames) expanded via the clip-window formula
+    (reference eval_video_dataset_2.py:91-115), and a labeled clip table
+    whose rows carry per-clip ``clip-t-start`` / ``t-start`` directly
+    (untrimmed_video_dataset_2.py:75-86).
+    """
+    segments: dict = {}
+    clip_len_sec = clip_len / float(frame_rate)
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    for r in rows:
+        key13 = os.path.splitext(os.path.basename(r['filename']))[0][:13]
+        if 'video-frames' in r and r.get('video-frames'):
+            clips = make_clip_table(
+                r['filename'], float(r['fps']),
+                int(float(r['video-frames'])), clip_len, frame_rate, stride)
+            segments.setdefault(key13, []).extend(
+                (c.t_start, c.t_end) for c in clips)
+        else:
+            t0 = float(r.get('clip-t-start') or r.get('t-start') or 0.0)
+            segments.setdefault(key13, []).append((t0, t0 + clip_len_sec))
+    return segments
 
 
 class FusionDataset(DenseCaptionDataset):
@@ -30,13 +66,35 @@ class FusionDataset(DenseCaptionDataset):
                  is_training, opt, seed: int = 0,
                  sound_feature_folder: str | None = None,
                  audio_folder: str | None = None,
-                 extractor: HubertExtractor | None = None):
+                 extractor: HubertExtractor | None = None,
+                 metadata_csv: str | None = None):
         super().__init__(anno_file, feature_folder, translator_json,
                          is_training, opt, seed)
         self.sound_feature_folder = (sound_feature_folder or
                                      getattr(opt, 'sound_feature_folder', None))
         self.audio_folder = audio_folder
         self.extractor = extractor
+        if metadata_csv is None:
+            metadata_csv = getattr(
+                opt, 'train_csv_filename' if is_training
+                else 'valid_csv_filename', None)
+        self.clip_segments = {}
+        if metadata_csv and os.path.exists(metadata_csv):
+            self.clip_segments = load_clip_segments_csv(
+                metadata_csv,
+                clip_len=int(getattr(opt, 'clip_len', 16) or 16),
+                frame_rate=float(getattr(opt, 'frame_rate', 15) or 15),
+                stride=int(getattr(opt, 'stride', 16) or 16))
+
+    def segments_for(self, key13: str, n_clips: int, duration: float):
+        """Per-clip (start, end) windows: the CSV-joined table when
+        available (reference NewDataset.py:104-108), else uniform."""
+        segs = self.clip_segments.get(key13)
+        if segs:
+            return segs[:n_clips] if len(segs) >= n_clips else (
+                segs + [segs[-1]] * (n_clips - len(segs)))
+        return [(i * duration / n_clips, (i + 1) * duration / n_clips)
+                for i in range(n_clips)]
 
     def load_sound(self, key: str, n_clips: int, duration: float) -> np.ndarray:
         key13 = key[:13]
@@ -49,9 +107,7 @@ class FusionDataset(DenseCaptionDataset):
             for ext in ('.mp4', '.wav', '.mkv', '.webm'):
                 ap = os.path.join(self.audio_folder, key13 + ext)
                 if os.path.exists(ap):
-                    segments = [(i * duration / n_clips,
-                                 (i + 1) * duration / n_clips)
-                                for i in range(n_clips)]
+                    segments = self.segments_for(key13, n_clips, duration)
                     return self.extractor.extract(ap, segments, key13)
         return np.zeros((n_clips, HUBERT_DIM), np.float32)
 
