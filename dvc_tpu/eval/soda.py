@@ -49,12 +49,107 @@ def chased_dp_assignment(scores: np.ndarray):
     return float(dp[M - 1, N - 1]), pairs[::-1]
 
 
+def _make_scorer(name: str):
+    """Scorer registry (reference soda.py:26-28 uses ``eval(scorer)()``).
+
+    ``BertScore``/``MoverScore`` (reference SODA/nlpeval/) need pretrained
+    LM weights; they are supported when a local model directory is supplied
+    via ``DVC_BERTSCORE_MODEL`` (zero-egress environments cannot download
+    one) and raise a clear error otherwise.
+    """
+    from .scorers import Bleu, Rouge
+    if name == 'Meteor':
+        return Meteor()
+    if name == 'Cider':
+        return Cider()
+    if name == 'Rouge':
+        return Rouge()
+    if name == 'Bleu':
+        return _Bleu4(Bleu(4))
+    if name in ('BertScore', 'MoverScore'):
+        return BertScore()
+    raise ValueError(f'unknown SODA scorer {name!r}')
+
+
+class _Bleu4:
+    """Per-instance BLEU-4 row (pycocoevalcap Bleu returns one list per n;
+    SODA needs a flat per-instance vector)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def compute_score(self, gts, res):
+        final, per_n = self.inner.compute_score(gts, res)
+        return final[-1], per_n[-1]
+
+
+class BertScore:
+    """Recall-oriented BERTScore (reference SODA/nlpeval/bert_r_score.py):
+    greedy token-embedding recall between hypothesis and reference, using a
+    locally available HF encoder (``DVC_BERTSCORE_MODEL``)."""
+
+    def __init__(self, model_dir=None):
+        import os
+        model_dir = model_dir or os.environ.get('DVC_BERTSCORE_MODEL')
+        if not model_dir:
+            raise RuntimeError(
+                'BertScore needs a local encoder: set DVC_BERTSCORE_MODEL '
+                'to a HF model directory (no network access here)')
+        from transformers import AutoModel, AutoTokenizer
+        self.tok = AutoTokenizer.from_pretrained(model_dir)
+        self.model = AutoModel.from_pretrained(model_dir)
+        self.model.eval()
+
+    def _embed(self, sents):
+        import torch
+        with torch.no_grad():
+            enc = self.tok(sents, return_tensors='pt', padding=True,
+                           truncation=True)
+            out = self.model(**enc).last_hidden_state
+            norm = out / out.norm(dim=-1, keepdim=True).clamp(min=1e-8)
+            return norm, enc['attention_mask']
+
+    def compute_score(self, gts, res):
+        import torch
+        keys = sorted(gts.keys())
+        hyp = [res[k][0] if isinstance(res[k], list) else res[k]
+               for k in keys]
+        ref = [gts[k][0] if isinstance(gts[k], list) else gts[k]
+               for k in keys]
+        h_emb, h_mask = self._embed(hyp)
+        r_emb, r_mask = self._embed(ref)
+        sims = torch.einsum('bld,bmd->blm', r_emb, h_emb)
+        sims = sims.masked_fill(~h_mask[:, None, :].bool(), -1e9)
+        best = sims.max(-1).values                  # (B, Lr)
+        m = r_mask.float()
+        recall = (best * m).sum(-1) / m.sum(-1).clamp(min=1)
+        scores = [float(s) for s in recall]
+        return float(np.mean(scores)), scores
+
+
 class SODAC:
-    def __init__(self, preds, gts, gt_vids, scorer='Meteor', verbose=False):
+    """SODA evaluation, types a/b/c/d (reference soda.py:31-47).
+
+    * ``a`` — DP on the tIoU matrix, scored by the caption metric over the
+      chosen pairs, averaged over tIoU thresholds (0.9/0.7/0.5/0.3).
+    * ``b`` — same as ``a`` at a single threshold (default 0).
+    * ``c`` — DP on tIoU × caption-metric (the headline soda_c).
+    * ``d`` — DP on tIoU alone (no captions).
+    """
+
+    def __init__(self, preds, gts, gt_vids, scorer='Meteor', verbose=False,
+                 soda_type='c', tious=None):
         self.preds = preds
         self.gts = gts
         self.gt_vids = gt_vids
-        self.scorer = Meteor() if scorer == 'Meteor' else Cider()
+        self.soda_type = soda_type
+        if tious is None:
+            tious = [0.9, 0.7, 0.5, 0.3] if soda_type == 'a' else [0.0]
+        self.tious = tious
+        if soda_type == 'd':
+            self.scorer = None
+        else:
+            self.scorer = _make_scorer(scorer)
         self.scorer_name = scorer
         self.verbose = verbose
 
@@ -73,36 +168,68 @@ class SODAC:
                 gts_arg, {i: [g] for i in range(len(p_sent))})[1]
             for g in g_sent])
 
+    def _soda_func(self, iou_mat, scores):
+        """One DP solve per (iou, score) matrix pair (soda.py:121-139)."""
+        if self.soda_type in ('a', 'b'):
+            _, pairs = chased_dp_assignment(iou_mat)
+            if not pairs:
+                return 0.0
+            r, c = zip(*pairs)
+            return float(scores[list(r), list(c)].sum())
+        if self.soda_type == 'c':
+            max_score, _ = chased_dp_assignment(iou_mat * scores)
+            return max_score
+        # 'd'
+        max_score, _ = chased_dp_assignment(iou_mat)
+        return max_score
+
     def evaluate(self):
-        p_best, r_best, f_best = [], [], []
+        nt = len(self.tious)
+        p_best = [[] for _ in range(nt)]
+        r_best = [[] for _ in range(nt)]
+        f_best = [[] for _ in range(nt)]
         for vid in self.gt_vids:
-            _p, _r, _f = [], [], []
+            _p = [[] for _ in range(nt)]
+            _r = [[] for _ in range(nt)]
+            _f = [[] for _ in range(nt)]
             pred = self.preds[vid]
             for gt in self.gts:
                 if vid not in gt:
                     continue
                 gold = gt[vid]
                 if len(pred['sentences']) == 0:
-                    _p.append(0.0); _r.append(0.0); _f.append(0.0)
+                    for i in range(nt):
+                        _p[i].append(0.0)
+                        _r[i].append(0.0)
+                        _f[i].append(0.0)
                     continue
                 _iou = self.calc_iou_matrix(pred, gold)
-                scores = self.calc_score_matrix(pred, gold)
-                max_score, _ = chased_dp_assignment(_iou * scores)
-                n_g, n_p = _iou.shape
-                p = max_score / n_p
-                r = max_score / n_g
-                _p.append(p)
-                _r.append(r)
-                _f.append(2 * p * r / (p + r) if p + r > 0 else 0.0)
-            if not _f:
+                if self.soda_type == 'd':
+                    scores = np.zeros_like(_iou)
+                else:
+                    scores = self.calc_score_matrix(pred, gold)
+                for i, tiou in enumerate(self.tious):
+                    cut = np.copy(_iou)
+                    cut[cut < tiou] = 0.0
+                    max_score = self._soda_func(cut, scores)
+                    n_g, n_p = cut.shape
+                    p = max_score / n_p
+                    r = max_score / n_g
+                    _p[i].append(p)
+                    _r[i].append(r)
+                    _f[i].append(2 * p * r / (p + r) if p + r > 0 else 0.0)
+            if not _f[0]:
                 continue
-            best = int(np.argmax(_f))
-            p_best.append(_p[best])
-            r_best.append(_r[best])
-            f_best.append(_f[best])
-        return [float(np.mean(p_best)) if p_best else 0.0,
-                float(np.mean(r_best)) if r_best else 0.0,
-                float(np.mean(f_best)) if f_best else 0.0]
+            for i in range(nt):
+                best = int(np.argmax(_f[i]))
+                p_best[i].append(_p[i][best])
+                r_best[i].append(_r[i][best])
+                f_best[i].append(_f[i][best])
+        # average over videos, then over tIoU thresholds (soda.py:107-118)
+        def _avg(xs):
+            per_tiou = [float(np.mean(x)) if x else 0.0 for x in xs]
+            return float(np.mean(per_tiou)) if per_tiou else 0.0
+        return [_avg(p_best), _avg(r_best), _avg(f_best)]
 
 
 def _load_gts(filenames, multi_reference=False):
@@ -153,8 +280,9 @@ def _preprocess(preds, gts, gt_vids):
     return out_preds, out_gts
 
 
-def eval_soda(prediction, ref_list, verbose=False):
-    """Per-reference soda_c averaged (reference eval_soda.py:45-54)."""
+def eval_soda(prediction, ref_list, verbose=False, soda_type='c',
+              scorer='Meteor', tious=None):
+    """Per-reference SODA averaged (reference eval_soda.py:45-54)."""
     if isinstance(prediction, str):
         with open(prediction) as f:
             prediction = json.load(f)
@@ -163,7 +291,8 @@ def eval_soda(prediction, ref_list, verbose=False):
         gts, gt_vids = _load_gts([ref], multi_reference=False)
         gt_vids = [v for v in gt_vids if v in prediction['results']]
         preds, gts = _preprocess(prediction['results'], gts, gt_vids)
-        s = SODAC(preds, gts, gt_vids, verbose=verbose).evaluate()
+        s = SODAC(preds, gts, gt_vids, verbose=verbose, soda_type=soda_type,
+                  scorer=scorer, tious=tious).evaluate()
         scores.append(s)
     avg = np.mean(scores, axis=0)
-    return {'soda_c': float(avg[-1])}
+    return {f'soda_{soda_type}': float(avg[-1])}

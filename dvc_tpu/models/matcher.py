@@ -15,7 +15,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.assignment import masked_assignment
+from ..ops.assignment import many_to_one_assignment, masked_assignment
 from ..utils.box_ops import box_cl_to_xy, generalized_box_iou
 
 
@@ -64,3 +64,22 @@ def hungarian_match(cfg, pred_logits, pred_boxes, gt_labels, gt_boxes,
     C = jax.lax.stop_gradient(C)
     C_t = jnp.swapaxes(C, 1, 2)                             # (B, G, Nq)
     return jax.vmap(masked_assignment)(C_t, gt_mask)
+
+
+def hungarian_match_m2o(cfg, pred_logits, pred_boxes, gt_labels, gt_boxes,
+                        gt_mask, rate: int = 4):
+    """Many-to-one match (reference ``rl_indices``, matcher.py:120-123):
+    each gt event is assigned up to ``rate`` distinct queries by solving the
+    assignment on the gt-tiled cost matrix (m2o_rate=4 in the reference).
+
+    Returns col4row (B, rate, G) int32.  The reference computes this on
+    every forward but only the vestigial ``caption_cost_type='rl'`` path
+    would consume it (that path ends in an AssertionError there —
+    pdvc.py:424-433); we expose it as an opt-in utility instead of paying
+    the extra solve each step.
+    """
+    C = match_cost_matrix(cfg, pred_logits, pred_boxes, gt_labels, gt_boxes)
+    C = jax.lax.stop_gradient(C)
+    C_t = jnp.swapaxes(C, 1, 2)                             # (B, G, Nq)
+    return jax.vmap(lambda c, m: many_to_one_assignment(c, m, rate))(
+        C_t, gt_mask)

@@ -102,6 +102,31 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     return col4row
 
 
+def many_to_one_assignment(cost: jnp.ndarray, row_mask: jnp.ndarray,
+                           rate: int = 4) -> jnp.ndarray:
+    """Many-to-one assignment: up to ``rate`` columns per row.
+
+    The reference's ``rl_indices`` (``pdvc/matcher.py:120-123``) solves the
+    assignment on the cost matrix tiled ``rate``× along the gt axis, so each
+    gt event can absorb up to ``rate`` distinct queries (used only by the
+    vestigial ``caption_cost_type='rl'`` path).  Our layout transposes the
+    reference's: rows are gt slots, columns queries, so the tiling happens
+    along rows; tiled row ``r`` maps back to gt slot ``r % R``.
+
+    cost: (R, C) with rate*R <= C; row_mask: (R,).
+    Returns col4row (rate, R) int32 — ``rate`` distinct columns per row,
+    jointly optimal over the tiled problem (matches scipy on the tiled
+    matrix up to equal-cost ties).
+    """
+    R, C = cost.shape
+    if rate * R > C:
+        raise ValueError(f"need rate*R <= C, got rate={rate}, {cost.shape}")
+    tiled = jnp.tile(cost, (rate, 1))
+    tiled_mask = jnp.tile(row_mask, (rate,))
+    col4row = masked_assignment(tiled, tiled_mask)
+    return col4row.reshape(rate, R)
+
+
 def masked_assignment(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
     """Assignment where only ``row_mask`` rows are real.
 

@@ -53,3 +53,44 @@ def test_jit_and_vmap():
         rows, cols = scipy_lsa(c)
         got = c[np.arange(8), np.asarray(solved[b])].sum()
         np.testing.assert_allclose(got, c[rows, cols].sum(), rtol=1e-5, atol=1e-4)
+
+
+def test_many_to_one_matches_reference_tiling():
+    """rl_indices parity (reference matcher.py:120-123): solving on the
+    rate-tiled matrix == scipy on the same tiling; each gt row receives
+    `rate` distinct queries."""
+    from dvc_tpu.ops.assignment import many_to_one_assignment
+    rng = np.random.default_rng(3)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        cost = rng.standard_normal((5, 30)).astype(np.float32) * 10
+        mask = np.ones((5,), bool)
+        got = np.asarray(many_to_one_assignment(jnp.asarray(cost),
+                                                jnp.asarray(mask), rate=4))
+        assert got.shape == (4, 5)
+        flat = got.reshape(-1)
+        assert len(set(flat.tolist())) == 20, "queries must be distinct"
+        tiled = np.tile(cost, (4, 1))
+        rows, cols = scipy_lsa(tiled)
+        want = tiled[rows, cols].sum()
+        have = tiled[np.arange(20), flat].sum()
+        np.testing.assert_allclose(have, want, rtol=1e-5, atol=1e-4)
+
+
+def test_hungarian_match_m2o_shapes():
+    from dvc_tpu.models.matcher import MatcherConfig, hungarian_match_m2o
+    rng = np.random.default_rng(0)
+    B, Nq, G, K = 2, 24, 4, 1
+    logits = jnp.asarray(rng.standard_normal((B, Nq, K)).astype(np.float32))
+    boxes = jax.nn.sigmoid(jnp.asarray(
+        rng.standard_normal((B, Nq, 2)).astype(np.float32)))
+    gt_boxes = jax.nn.sigmoid(jnp.asarray(
+        rng.standard_normal((B, G, 2)).astype(np.float32)))
+    labels = jnp.zeros((B, G), jnp.int32)
+    mask = jnp.ones((B, G), bool)
+    out = np.asarray(hungarian_match_m2o(
+        MatcherConfig(), logits, boxes, labels, gt_boxes, mask, rate=4))
+    assert out.shape == (B, 4, G)
+    for b in range(B):
+        flat = out[b].reshape(-1)
+        assert len(set(flat.tolist())) == 4 * G

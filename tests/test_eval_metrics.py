@@ -213,3 +213,35 @@ def test_iou_1d():
     assert iou_1d([0, 10], [0, 10]) == pytest.approx(1.0, abs=1e-6)
     assert iou_1d([0, 10], [5, 15]) == pytest.approx(1 / 3, abs=1e-3)
     assert iou_1d([0, 10], [20, 30]) == 0.0
+
+
+def test_eval_soda_types(gt_and_pred):
+    """soda a/b/d variants (reference soda.py:121-139): near-perfect
+    predictions score high everywhere; soda_d ignores captions entirely."""
+    gt_path, pred_path, _ = gt_and_pred
+    out_b = eval_soda(pred_path, [gt_path], soda_type='b')
+    out_d = eval_soda(pred_path, [gt_path], soda_type='d')
+    out_a = eval_soda(pred_path, [gt_path], soda_type='a')
+    # b: DP on IoU, scored by METEOR over the chosen pairs
+    assert 0.3 < out_b['soda_b'] <= 1.0
+    # d: pure IoU F-measure; our boxes overlap ~0.85+
+    assert 0.7 < out_d['soda_d'] <= 1.0
+    # a averages over tIoU in {0.9,0.7,0.5,0.3}; the 0.9 slot loses pairs
+    assert 0.0 < out_a['soda_a'] <= out_b['soda_b'] + 1e-9
+
+
+def test_eval_soda_alternate_scorers(gt_and_pred):
+    gt_path, pred_path, _ = gt_and_pred
+    # BLEU-4 is tiny on 3-4 word sentences (no 4-grams to match)
+    for scorer, lo in [('Cider', 0.3), ('Rouge', 0.3), ('Bleu', 0.05)]:
+        out = eval_soda(pred_path, [gt_path], scorer=scorer)
+        assert out['soda_c'] > lo, (scorer, out)
+
+
+def test_soda_bertscore_requires_local_model(monkeypatch):
+    from dvc_tpu.eval.soda import _make_scorer
+    monkeypatch.delenv('DVC_BERTSCORE_MODEL', raising=False)
+    with pytest.raises(RuntimeError, match='DVC_BERTSCORE_MODEL'):
+        _make_scorer('BertScore')
+    with pytest.raises(ValueError):
+        _make_scorer('NoSuchScorer')
