@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ms_deform_attn_sample_values
+from ..ops.dsa_attention import dsa_additive_attention
+from ..ops.embed import embed_lookup
 from .deformable_transformer import msda_offset_bias_init
 
 
@@ -47,8 +49,12 @@ def caption_nll(logprobs, target, mask):
 
     logprobs: (..., Lsteps, V+1); target/mask: (..., Lsteps).
     Returns per-caption loss (...,) = -sum(logprob[target]) / len.
+    The pick is a one-hot contraction rather than take_along_axis: its VJP
+    is then an elementwise product instead of a TPU scatter.
     """
-    picked = jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(target, logprobs.shape[-1],
+                            dtype=logprobs.dtype)
+    picked = (logprobs * onehot).sum(-1)
     m = mask.astype(logprobs.dtype)
     return -(picked * m).sum(-1) / (m.sum(-1) + 1e-6)
 
@@ -85,6 +91,26 @@ class _LSTMParams:
             inp = h
         return inp, (jnp.stack(hs), jnp.stack(cs))
 
+    @staticmethod
+    def step_pre(params, z0, state):
+        """LSTM step with the layer-0 input preactivation ``z0 = x @ w_ih``
+        already computed (N, 4R).  Lets callers hoist the per-step-constant
+        contributions (event query, gt-token embeddings) out of the word
+        scan: x @ w_ih = Σ x_part @ w_ih_part, so constants batch into one
+        MXU matmul outside the sequential loop."""
+        h_prev, c_prev = state
+        hs, cs = [], []
+        inp = None
+        for l, (w_ih, w_hh) in enumerate(params):
+            z = (z0 if l == 0 else inp @ w_ih) + h_prev[l] @ w_hh
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c_prev[l] + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            hs.append(h)
+            cs.append(c)
+            inp = h
+        return inp, (jnp.stack(hs), jnp.stack(cs))
+
 
 @dataclasses.dataclass
 class CaptionHeadConfig:
@@ -99,6 +125,11 @@ class CaptionHeadConfig:
     cap_nheads: int = 8
     cap_dec_n_points: int = 4
     cap_num_feature_levels: int = 4
+    # rematerialize the word-scan step in the backward pass.  With the fused
+    # Pallas attention (ops/dsa_attention.py) the big per-step activation
+    # never reaches HBM, so recomputing the step costs more than it saves —
+    # off by default; kept for the jnp attention path / memory-tight runs
+    scan_remat: bool = False
 
 
 class _CaptionHeadBase(nn.Module):
@@ -125,35 +156,68 @@ class _CaptionHeadBase(nn.Module):
             output = jnp.where(mask, output / keep, 0.0)
         return jax.nn.log_softmax(output @ logit_w + logit_b, axis=-1)
 
-    def _teacher_forcing(self, step_fn, seq, n, ss_prob, deterministic):
-        """Scan over word steps 0..Lcap-2 with scheduled sampling.
+    def _step_fn_from_core(self, core, deterministic):
+        """Per-token step (token id -> logprobs) on top of a core step."""
+        embed, token_w, const_ih, logit, run = core
 
-        step_fn(it, state, drop_rng) -> (logprobs, state).
+        def step_fn(it, state, drop_rng):
+            z0 = embed_lookup(embed, it) @ token_w + const_ih
+            out, state = run(z0, state)
+            return self._logprobs(out, logit, drop_rng, deterministic), state
+        return step_fn
+
+    def _teacher_forcing(self, core, seq, n, ss_prob, deterministic,
+                         ss_enabled):
+        """Teacher-forced word scan 0..Lcap-2.
+
+        Fast path (``ss_enabled=False``): the gt tokens are known up front,
+        so the token-embedding contribution to the LSTM preactivation is one
+        batched matmul over all steps, and the vocab projection + softmax of
+        every step runs as one matmul after the scan — the sequential loop
+        carries only the recurrent work.  With scheduled sampling the next
+        input depends on the previous step's distribution (reference
+        LSTM.py:64-75), so everything stays inside the scan.
+
         seq: (N, Lcap) int tokens.  Returns logprobs (N, Lcap-1, V+1).
         """
         cfg = self.cfg
         L = seq.shape[-1]
         h0 = jnp.zeros((cfg.num_layers, n, cfg.rnn_size))
         state0 = (h0, h0)
-        base_rng = (self.make_rng('sample')
-                    if not deterministic else jax.random.PRNGKey(0))
         drop_base = (self.make_rng('dropout')
                      if not deterministic else jax.random.PRNGKey(0))
+        embed, token_w, const_ih, logit, run = core
+
+        if not ss_enabled:
+            z_all = (embed_lookup(embed, seq[:, :-1]) @ token_w
+                     + const_ih[:, None, :])
+            step = jax.checkpoint(run) if cfg.scan_remat else run
+
+            def body(state, z0):
+                out, state = step(z0, state)
+                return state, out
+
+            _, outs = jax.lax.scan(body, state0, jnp.moveaxis(z_all, 1, 0))
+            # (L-1, N, R): dropout + vocab projection in one shot
+            lps = self._logprobs(outs, logit, drop_base, deterministic)
+            return jnp.moveaxis(lps, 0, 1)
+
+        base_rng = (self.make_rng('sample')
+                    if not deterministic else jax.random.PRNGKey(0))
         lp0 = jnp.zeros((n, cfg.vocab_size + 1))
+        step_fn = self._step_fn_from_core(core, deterministic)
 
         def body(carry, inp):
             state, prev_lp = carry
             i, tok = inp
-            it = tok
-            if not deterministic:
-                # scheduled sampling (reference LSTM.py:64-75): with prob
-                # ss_prob (and only for steps >= 1) feed a sample from the
-                # previous step's distribution instead of the gt token.
-                rng_i = jax.random.fold_in(base_rng, i)
-                r_b, r_c = jax.random.split(rng_i)
-                use_sample = (jax.random.uniform(r_b, (n,)) < ss_prob) & (i >= 1)
-                sampled = jax.random.categorical(r_c, prev_lp, axis=-1)
-                it = jnp.where(use_sample, sampled, tok)
+            # scheduled sampling: with prob ss_prob (and only for steps >= 1)
+            # feed a sample from the previous step's distribution instead of
+            # the gt token.
+            rng_i = jax.random.fold_in(base_rng, i)
+            r_b, r_c = jax.random.split(rng_i)
+            use_sample = (jax.random.uniform(r_b, (n,)) < ss_prob) & (i >= 1)
+            sampled = jax.random.categorical(r_c, prev_lp, axis=-1)
+            it = jnp.where(use_sample, sampled, tok)
             lp, state = step_fn(it, state, jax.random.fold_in(drop_base, i))
             return (state, lp), lp
 
@@ -161,13 +225,14 @@ class _CaptionHeadBase(nn.Module):
         _, lps = jax.lax.scan(body, (state0, lp0), xs)
         return jnp.moveaxis(lps, 0, 1)  # (N, Lcap-1, V+1)
 
-    def _greedy_sample(self, step_fn, n, deterministic=True):
+    def _greedy_sample(self, core, n, deterministic=True):
         """Fixed-length greedy decode (reference ``LSTM.py:94-139``).
 
         Returns seq (N, max_caption_len) and per-token logprobs; tokens are
         zeroed once a query emits EOS (token 0).
         """
         cfg = self.cfg
+        step_fn = self._step_fn_from_core(core, deterministic)
         h0 = jnp.zeros((cfg.num_layers, n, cfg.rnn_size))
         state0 = (h0, h0)
         dummy_rng = jax.random.PRNGKey(0)
@@ -208,34 +273,42 @@ class LightCaptionHead(_CaptionHeadBase):
     """'light' head (reference ``LSTM.py:141-174``): LSTM over
     [word embedding ; query feature]."""
 
-    def _make_step(self, feats, deterministic):
+    def _make_core(self, feats):
+        """x = [token emb ; feats] -> z0 = emb@W_tok + feats@W_feat, with the
+        feats contribution hoisted (constant across word steps)."""
         cfg = self.cfg
-        in_dim = cfg.input_encoding_size + cfg.hidden_dim
+        E = cfg.input_encoding_size
+        in_dim = E + cfg.hidden_dim
         embed, logit, lstm = self._common_params(in_dim)
+        w_ih0 = lstm[0][0]
+        token_w = w_ih0[:E]
+        const_ih = feats @ w_ih0[E:]
 
-        def step_fn(it, state, drop_rng):
-            xt = embed[it]
-            out, state = _LSTMParams.step(lstm, jnp.concatenate([xt, feats], -1),
-                                          state)
-            return self._logprobs(out, logit, drop_rng, deterministic), state
-        return step_fn
+        def run(z0, state):
+            return _LSTMParams.step_pre(lstm, z0, state)
+        return (embed, token_w, const_ih, logit, run)
 
     @nn.compact
     def __call__(self, feats, seq, ss_prob=0.0, deterministic=True,
-                 mode='forward'):
+                 mode='forward', ss_enabled=None):
         """feats: (N, hidden) query features of the caption batch;
-        seq: (N, Lcap) gt tokens (mode='forward') or ignored (mode='sample')."""
-        step_fn = self._make_step(feats, deterministic)
+        seq: (N, Lcap) gt tokens (mode='forward') or ignored (mode='sample').
+        ss_enabled must be a *static* bool: whether scheduled sampling can
+        fire (defaults to ``not deterministic``, the reference's behavior)."""
+        if ss_enabled is None:
+            ss_enabled = not deterministic
+        core = self._make_core(feats)
         n = feats.shape[0]
         if mode == 'forward':
-            return self._teacher_forcing(step_fn, seq, n, ss_prob,
-                                         deterministic)
-        return self._greedy_sample(step_fn, n)
+            return self._teacher_forcing(core, seq, n, ss_prob,
+                                         deterministic, ss_enabled)
+        return self._greedy_sample(core, n)
 
 
 class DSACaptionHead(_CaptionHeadBase):
     """'standard' head, LSTM-DSA (reference ``LSTM_DSA.py:189-270``)."""
     msda_impl: str = 'auto'
+    att_impl: str = 'auto'
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -267,23 +340,30 @@ class DSACaptionHead(_CaptionHeadBase):
             )
         return off_w, off_b, val_w, val_b, att
 
-    def _make_step(self, query, ref_center, offset_scale, memory,
-                   temporal_shapes, pad_mask, deterministic):
+    def _make_core(self, query, ref_center, offset_scale, memory,
+                   temporal_shapes, pad_mask):
         """query: (B, Pq, d); ref_center/offset_scale: (B, Pq, L) — the two
         reference-point branches of the reference's MSDeformAttnCap
         (``ms_deform_attn_for_caption.py:102-108``) unified as
         loc = center + offsets * scale (scale = 1/T_l for 1-d references,
         length*0.5/n_points for box references), which lets matched pairs
         from different decoder layers batch into one scan;
-        memory: (B, S, d); pad_mask: (B, S) True = pad."""
+        memory: (B, S, d); pad_mask: (B, S) True = pad.
+
+        Per-step-constant matmul contributions are hoisted out of the word
+        scan: the value projection (the reference recomputes it every step),
+        the event query's share of the sampling-offset projection, and the
+        query's share of the LSTM layer-0 preactivation."""
         cfg = self.cfg
         B, Pq, d = query.shape
         H = cfg.cap_nheads
         L = cfg.cap_num_feature_levels
         P = cfg.cap_dec_n_points
         Dh = d // H
+        R = cfg.rnn_size
+        E = cfg.input_encoding_size
         n = B * Pq
-        in_dim = cfg.input_encoding_size + 2 * d
+        in_dim = E + 2 * d
         embed, logit, lstm = self._common_params(in_dim)
         off_w, off_b, val_w, val_b, att = self._dsa_params()
 
@@ -293,11 +373,17 @@ class DSACaptionHead(_CaptionHeadBase):
             value = jnp.where(pad_mask[..., None], 0.0, value)
         value = value.reshape(B, -1, H, Dh)
 
-        def step_fn(it, state, drop_rng):
-            h_top = state[0][-1]                      # (n, R)
-            joint = jnp.concatenate(
-                [h_top.reshape(B, Pq, cfg.rnn_size), query], -1)
-            offsets = (joint @ off_w + off_b).reshape(B, Pq, H, L, P)
+        # hoisted query contributions: sampling offsets + LSTM layer 0
+        off_const = query @ off_w[R:] + off_b                 # (B, Pq, HLP)
+        w_ih0 = lstm[0][0]
+        token_w = w_ih0[:E]
+        ctx_w = w_ih0[E:E + d]
+        const_ih = query.reshape(n, d) @ w_ih0[E + d:]        # (n, 4R)
+
+        def run(z0, state):
+            h_top = state[0][-1]                              # (n, R)
+            offsets = (h_top.reshape(B, Pq, R) @ off_w[:R]
+                       + off_const).reshape(B, Pq, H, L, P)
             loc = (ref_center[:, :, None, :, None]
                    + offsets * offset_scale[:, :, None, :, None])
             taps = ms_deform_attn_sample_values(
@@ -307,34 +393,33 @@ class DSACaptionHead(_CaptionHeadBase):
 
             if att is not None:
                 # additive attention over sample points (LSTM_DSA.py:245-257)
-                a = jnp.tanh(taps @ att['ctx2att_w'] + att['ctx2att_b']
-                             + (h_top @ att['h2att_w']
-                                + att['h2att_b'])[:, None, None, :])
-                dot = (a @ att['alpha_w'] + att['alpha_b'])[..., 0]  # (n,H,LP)
-                w = jax.nn.softmax(dot, axis=-1)
-                ctx = jnp.einsum('nhp,nhpd->nhd', w, taps)
+                # — fused op keeps the (n, H, LP, att_hid) tanh activation
+                # in VMEM instead of HBM (see ops/dsa_attention.py)
+                hvec = h_top @ att['h2att_w'] + att['h2att_b']
+                ctx = dsa_additive_attention(
+                    taps, hvec, att['ctx2att_w'], att['ctx2att_b'],
+                    att['alpha_w'][:, 0], att['alpha_b'][0],
+                    impl=self.att_impl)
             else:
                 ctx = taps.mean(axis=2)
             ctx = ctx.reshape(n, H * Dh)
-
-            xt = embed[it]
-            x = jnp.concatenate([xt, ctx, query.reshape(n, d)], -1)
-            out, state = _LSTMParams.step(lstm, x, state)
-            return self._logprobs(out, logit, drop_rng, deterministic), state
-        return step_fn
+            return _LSTMParams.step_pre(lstm, z0 + ctx @ ctx_w, state)
+        return (embed, token_w, const_ih, logit, run)
 
     @nn.compact
     def __call__(self, query, ref_center, offset_scale, memory,
                  temporal_shapes, pad_mask, seq=None, ss_prob=0.0,
-                 deterministic=True, mode='forward'):
-        step_fn = self._make_step(query, ref_center, offset_scale, memory,
-                                  temporal_shapes, pad_mask, deterministic)
+                 deterministic=True, mode='forward', ss_enabled=None):
+        if ss_enabled is None:
+            ss_enabled = not deterministic
+        core = self._make_core(query, ref_center, offset_scale, memory,
+                               temporal_shapes, pad_mask)
         n = query.shape[0] * query.shape[1]
         if mode == 'forward':
             seq_flat = seq.reshape(n, -1)
-            return self._teacher_forcing(step_fn, seq_flat, n, ss_prob,
-                                         deterministic)
-        return self._greedy_sample(step_fn, n)
+            return self._teacher_forcing(core, seq_flat, n, ss_prob,
+                                         deterministic, ss_enabled)
+        return self._greedy_sample(core, n)
 
 
 def truncate_levels(cfg: CaptionHeadConfig, temporal_shapes: Sequence[int],

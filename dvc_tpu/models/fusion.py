@@ -57,7 +57,7 @@ class FusionPDVC(nn.Module):
         self.pdvc = PDVC(self.cfg, name='pdvc')
 
     def __call__(self, batch, eval_mode=False, ss_prob=0.0,
-                 deterministic=None):
+                 deterministic=None, ss_enabled=None):
         """batch additionally carries 'sound_tensor' (B, T, 768) aligned
         with the visual clips (zeros when audio is unavailable,
         reference NewModel.py:111-114)."""
@@ -70,4 +70,4 @@ class FusionPDVC(nn.Module):
         inner['video_tensor'] = fused
         inner.pop('sound_tensor', None)
         return self.pdvc(inner, eval_mode=eval_mode, ss_prob=ss_prob,
-                         deterministic=deterministic)
+                         deterministic=deterministic, ss_enabled=ss_enabled)

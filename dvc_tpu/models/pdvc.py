@@ -78,7 +78,8 @@ class PDVCConfig:
             cap_nheads=opt.cap_nheads,
             cap_dec_n_points=opt.cap_dec_n_points,
             cap_num_feature_levels=min(opt.cap_num_feature_levels,
-                                       opt.num_feature_levels))
+                                       opt.num_feature_levels),
+            scan_remat=bool(getattr(opt, 'caption_scan_remat', 1)))
         return cls(
             num_classes=opt.num_classes, num_queries=opt.num_queries,
             num_feature_levels=opt.num_feature_levels,
@@ -187,7 +188,10 @@ class PDVC(nn.Module):
             head_cls = (LightCaptionHead if c.caption_decoder_type == 'light'
                         else DSACaptionHead)
             kwargs = {} if c.caption_decoder_type == 'light' else {
-                'msda_impl': c.msda_impl}
+                'msda_impl': c.msda_impl,
+                # XLA-portable impls map to the jnp attention path
+                'att_impl': {'dense': 'ref', 'ref': 'ref'}.get(
+                    c.msda_impl, c.msda_impl)}
             if c.share_caption_head:
                 h = head_cls(c.caption, name='caption_head', **kwargs)
                 self.caption_heads = [h] * D
@@ -351,7 +355,7 @@ class PDVC(nn.Module):
 
     def _run_caption_forward(self, head, feats, center, scale, memory,
                              shapes, mask_flat, caps, ss_prob,
-                             deterministic):
+                             deterministic, ss_enabled=None):
         """One teacher-forced pass of the (standard) caption head over a
         (B, P) pair layout; returns per-caption logprobs (B, P, Lc-1, V+1)."""
         c = self.cfg
@@ -359,12 +363,13 @@ class PDVC(nn.Module):
             c.caption, shapes, memory, mask_flat, center, scale)
         lp = head(feats, center_t, scale_t, mem_t, shapes_t, mask_t,
                   seq=caps, ss_prob=ss_prob, deterministic=deterministic,
-                  mode='forward')
+                  mode='forward', ss_enabled=ss_enabled)
         return lp.reshape(*feats.shape[:2], *lp.shape[1:])
 
     def caption_train_losses(self, hs, init_reference, inter_refs, memory,
                              shapes, valid_ratios, mask_flat, batch,
-                             last_idx, aux_idx, ss_prob, deterministic):
+                             last_idx, aux_idx, ss_prob, deterministic,
+                             ss_enabled=None):
         """Per-layer teacher-forced caption losses on matched pairs
         (reference pdvc.py:294-304 -> caption_prediction :325-445).
 
@@ -410,14 +415,15 @@ class PDVC(nn.Module):
             if c.caption_decoder_type == 'light':
                 lp = head(feats.reshape(B * nL * G, -1),
                           caps_all.reshape(B * nL * G, -1), ss_prob=ss_prob,
-                          deterministic=deterministic, mode='forward')
+                          deterministic=deterministic, mode='forward',
+                          ss_enabled=ss_enabled)
                 lp = lp.reshape(B, nL * G, *lp.shape[1:])
             else:
                 center = jnp.concatenate([p[1] for p in parts], axis=1)
                 scale = jnp.concatenate([p[2] for p in parts], axis=1)
                 lp = self._run_caption_forward(
                     head, feats, center, scale, memory, shapes, mask_flat,
-                    caps_all, ss_prob, deterministic)
+                    caps_all, ss_prob, deterministic, ss_enabled)
             per_cap = caption_nll(
                 lp, caps_all[..., 1:],
                 jnp.tile(batch['cap_mask'], (1, nL, 1))[..., 1:])
@@ -433,12 +439,12 @@ class PDVC(nn.Module):
             if c.caption_decoder_type == 'light':
                 lp = head(feats.reshape(B * G, -1), cap.reshape(B * G, -1),
                           ss_prob=ss_prob, deterministic=deterministic,
-                          mode='forward')
+                          mode='forward', ss_enabled=ss_enabled)
                 lp = lp.reshape(B, G, *lp.shape[1:])
             else:
                 lp = self._run_caption_forward(
                     head, feats, center, scale, memory, shapes, mask_flat,
-                    cap, ss_prob, deterministic)
+                    cap, ss_prob, deterministic, ss_enabled)
             per_cap = caption_nll(lp, cap[..., 1:],
                                   batch['cap_mask'][..., 1:])
             losses[loss_key(l_id)] = ((per_cap * m).sum()
@@ -467,7 +473,8 @@ class PDVC(nn.Module):
     # forward
     # ------------------------------------------------------------------
     def __call__(self, batch, eval_mode: bool = False, ss_prob: float = 0.0,
-                 deterministic: Optional[bool] = None):
+                 deterministic: Optional[bool] = None,
+                 ss_enabled: Optional[bool] = None):
         c = self.cfg
         if deterministic is None:
             deterministic = eval_mode
@@ -510,7 +517,7 @@ class PDVC(nn.Module):
             losses.update(self.caption_train_losses(
                 hs, init_reference, inter_refs, memory, shapes,
                 valid_ratios, mask_flat, batch, last_idx, aux_idx, ss_prob,
-                deterministic))
+                deterministic, ss_enabled))
         elif eval_mode and c.caption_decoder_type != 'none':
             l_id = c.dec_layers - 1
             reference = self.layer_reference(init_reference, inter_refs, l_id)

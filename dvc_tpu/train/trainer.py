@@ -100,7 +100,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=getattr(opt, 'tpu_mesh_data', 1))
         self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0, 1))
+                                   donate_argnums=(0, 1),
+                                   static_argnums=(6,))
         self._eval_step = jax.jit(partial(self.model.apply, eval_mode=True))
 
     # ------------------------------------------------------------------
@@ -161,12 +162,17 @@ class Trainer:
         return {'params': params, 'opt_state': opt_state, 'step': 0}
 
     # ------------------------------------------------------------------
-    def _train_step_impl(self, params, opt_state, batch, lr, ss_prob, rng):
+    def _train_step_impl(self, params, opt_state, batch, lr, ss_prob, rng,
+                         ss_enabled=False):
+        """ss_enabled must be static (it selects the caption-scan code
+        path): False hoists the token/vocab matmuls out of the word scan;
+        True keeps them inside so scheduled sampling can feed back."""
         r_drop, r_samp = jax.random.split(rng)
 
         def loss_fn(p):
             out, losses = self.model.apply(
                 p, batch, eval_mode=False, ss_prob=ss_prob,
+                ss_enabled=ss_enabled,
                 rngs={'dropout': r_drop, 'sample': r_samp})
             total = sum(losses[k] * w for k, w in self.weight_dict.items()
                         if k in losses and w)
@@ -184,7 +190,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _multi_step_impl(self, params, opt_state, batches, lr, ss_prob,
-                         rng):
+                         rng, ss_enabled=False):
         """lax.scan over K stacked batches — one dispatch for K optimizer
         steps, amortizing host->device launch latency (useful when the
         host link is long, e.g. remote TPU tunnels)."""
@@ -192,7 +198,7 @@ class Trainer:
             p, o, r = carry
             r, r_step = jax.random.split(r)
             p, o, losses = self._train_step_impl(p, o, batch, lr, ss_prob,
-                                                 r_step)
+                                                 r_step, ss_enabled)
             return (p, o, r), losses
 
         (params, opt_state, _), losses = jax.lax.scan(
@@ -210,10 +216,12 @@ class Trainer:
         stacked = shard_batch_axis1(stacked, self.mesh)
         if not hasattr(self, '_multi_step'):
             self._multi_step = jax.jit(self._multi_step_impl,
-                                       donate_argnums=(0, 1))
+                                       donate_argnums=(0, 1),
+                                       static_argnums=(6,))
         params, opt_state, losses = self._multi_step(
             state['params'], state['opt_state'], stacked,
-            jnp.float32(lr), jnp.float32(ss_prob), rng)
+            jnp.float32(lr), jnp.float32(ss_prob), rng,
+            float(ss_prob) > 0)
         state = {'params': params, 'opt_state': opt_state,
                  'step': state['step'] + len(batches)}
         return state, losses
@@ -242,7 +250,8 @@ class Trainer:
         batch = shard_batch(batch, self.mesh)
         params, opt_state, losses = self._train_step(
             state['params'], state['opt_state'], batch,
-            jnp.float32(lr), jnp.float32(ss_prob), rng)
+            jnp.float32(lr), jnp.float32(ss_prob), rng,
+            float(ss_prob) > 0)
         state = {'params': params, 'opt_state': opt_state,
                  'step': state['step'] + 1}
         return state, losses

@@ -220,6 +220,9 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=['float32', 'bfloat16'])
     add('--msda_impl', type=str, default='auto',
         choices=['auto', 'ref', 'dense', 'pallas', 'pallas_interpret'])
+    add('--caption_scan_remat', type=int, default=0,
+        help='rematerialize the caption word-scan step in the backward '
+             '(only pays off without the fused attention kernel)')
     add('--caption_len_bucketing', type=int, default=1,
         help='slice caption tensors to the batch max length (exact-'
              'equivalent; fewer teacher-forcing scan steps)')
