@@ -119,6 +119,29 @@ class Trainer:
             return PDVC(cfg2)
         return self.model
 
+    def param_shapes(self, example_batch, seed=0):
+        """Shape/dtype skeleton of the parameter tree via ``jax.eval_shape``
+        — trace-only, no XLA compile, no FLOPs.  Enough for checkpoint
+        restore (structure + shape validation); seconds instead of the
+        minutes a real ``init`` costs on a single-core host."""
+        rngs = {'params': jax.random.PRNGKey(seed),
+                'dropout': jax.random.PRNGKey(seed + 1),
+                'sample': jax.random.PRNGKey(seed + 2)}
+        twin = self._init_twin()
+        return jax.eval_shape(
+            lambda b: twin.init(rngs, b, eval_mode=False), example_batch)
+
+    def eval_state_from_checkpoint(self, example_batch, ck_path):
+        """Build an eval-only state directly from a checkpoint, skipping
+        ``init_state``'s full model init (which compiles the train graph
+        just to produce params that the checkpoint then overwrites)."""
+        shapes = self.param_shapes(example_batch)
+        ck = load_checkpoint(ck_path, flax_params=shapes)
+        params = jax.tree_util.tree_map(jnp.asarray, ck['params'])
+        params = replicate_tree(params, self.mesh)
+        return ({'params': params, 'opt_state': None,
+                 'step': ck.get('step', 0)}, ck)
+
     def init_state(self, example_batch, seed=0):
         rngs = {'params': jax.random.PRNGKey(seed),
                 'dropout': jax.random.PRNGKey(seed + 1),

@@ -46,7 +46,7 @@ def main():
 
     from dvc_tpu.data import BatchLoader, DenseCaptionDataset
     from dvc_tpu.eval import evaluate
-    from dvc_tpu.train import Trainer, load_checkpoint, load_info_json
+    from dvc_tpu.train import Trainer, load_info_json
     from dvc_tpu.utils.config import load_config
     from dvc_tpu.utils.logging import create_logger
 
@@ -90,9 +90,9 @@ def main():
     ck_path = args.eval_checkpoint_path or os.path.join(
         args.eval_save_dir, f'model-{args.eval_model}.ckpt')
     batch0, _ = next(iter(loader))
-    state = trainer.init_state(batch0)
-    ck = load_checkpoint(ck_path, flax_params=state['params'])
-    state['params'] = ck['params']
+    # shape-only init: restoring a checkpoint needs the param-tree skeleton,
+    # not a compiled model init (minutes on a 1-core host, all discarded)
+    state, ck = trainer.eval_state_from_checkpoint(batch0, ck_path)
     logger.info(f'loaded {ck_path} (epoch {ck["epoch"]})')
 
     dvc_json_path = os.path.join(

@@ -54,7 +54,7 @@ def test_full_shell_pipeline(tmp_path):
     r = subprocess.run(
         ['bash', os.path.join(ROOT, 'test_and_visualize.sh'),
          str(vid_dir), str(out_dir), run_folder],
-        env=env, cwd=ROOT, capture_output=True, text=True, timeout=1200)
+        env=env, cwd=ROOT, capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stdout[-3000:] + '\n' + r.stderr[-3000:]
 
     # outputs: metadata csv, features, dvc json, rendered video
