@@ -236,10 +236,12 @@ class PoolCls(nn.Module):
     ``Pool``): depthwise 3x3x3 conv (stride = pooling stride) over the THW
     grid, the class token re-attached, then LayerNorm over the result.
 
-    XLA lowers depthwise 3-D convs poorly on TPU (the grid of per-channel
-    convs serializes); the same operator expressed as 27 strided-slice
-    multiply-adds is pure VPU work and fuses — measured ~40x faster at
-    MViTv2-S stage-0 shapes.
+    Implemented as a native XLA grouped conv (NDHWC, feature_group_count=D).
+    Measured honestly (in-graph fori chain + result-value fetch — the only
+    timing protocol that survives this box's async dispatch), it beats the
+    unrolled 27-strided-slice formulation ~40x at the stage-transition
+    shapes (0.8 ms vs 32 ms at (16, 8, 56, 56, 96) stride (1,2,2)); the
+    round-1 claim of the opposite came from a broken timer.
     """
     dim_per_head: int
     stride: Sequence[int]
@@ -257,21 +259,15 @@ class PoolCls(nn.Module):
                                 in_axis=(0, 1, 2), out_axis=3),
                             (3, 3, 3, D))
         x5 = grid.reshape(B * H, t, h, w, D)
-        pad = jnp.pad(x5, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         nt = (t - 1) // st + 1
         nh = (h - 1) // sh + 1
         nw = (w - 1) // sw + 1
-        out = jnp.zeros((B * H, nt, nh, nw, D), x.dtype)
-        for dt in range(3):
-            for dh in range(3):
-                for dw in range(3):
-                    sl = jax.lax.slice(
-                        pad,
-                        (0, dt, dh, dw, 0),
-                        (B * H, dt + st * (nt - 1) + 1,
-                         dh + sh * (nh - 1) + 1, dw + sw * (nw - 1) + 1, D),
-                        (1, st, sh, sw, 1))
-                    out = out + sl * kernel[dt, dh, dw]
+        out = jax.lax.conv_general_dilated(
+            x5, kernel.reshape(3, 3, 3, 1, D).astype(x5.dtype),
+            window_strides=(st, sh, sw),
+            padding=[(1, 1), (1, 1), (1, 1)],
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+            feature_group_count=D)
         out = out.reshape(B, H, nt * nh * nw, D)
         out = jnp.concatenate([cls_tok, out], axis=2)
         # norm AFTER pooling, over the full sequence incl. CLS
@@ -392,6 +388,42 @@ class MultiscaleBlock(nn.Module):
         return x + h2, new_thw
 
 
+class PatchEmbed(nn.Module):
+    """Patchify stem: 3x7x7 conv, stride (2,4,4), padding (1,3,3).
+
+    A direct conv with C_in=3 runs ~50x below roofline on TPU (the 3 input
+    channels rattle inside 128-wide lanes).  Equivalent reformulation:
+    zero-pad the kernel to a (4,8,8) window — stride-multiples — then
+    space-to-depth both operands by (2,4,4) blocks, giving a (2,2,2) conv
+    with 96 input channels that the MXU tiles properly (57 ms -> ~2 ms per
+    (8,16,224,224,3) batch).  Parameters keep the torchvision conv layout
+    (kernel (3,7,7,3,C), bias (C,)) so the torch-weight converter and
+    checkpoints are unchanged.
+    """
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.embed_dim
+        kernel = self.param('kernel', nn.initializers.lecun_normal(
+            in_axis=(0, 1, 2, 3), out_axis=4), (3, 7, 7, 3, C))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        B, T, H, W, _ = x.shape
+        # kernel (3,7,7) -> (4,8,8) window (zero taps), blocked (2,4,4)
+        k = jnp.pad(kernel, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+        k = k.reshape(2, 2, 2, 4, 2, 4, 3, C)        # (bt,i,bh,j,bw,kk,c,o)
+        k = k.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(2, 2, 2, 96, C)
+        # input: pad (1,1),(3,1),(3,1) so windows align to (2,4,4) blocks
+        xp = jnp.pad(x, ((0, 0), (1, 1), (3, 1), (3, 1), (0, 0)))
+        bt, bh, bw = (T + 2) // 2, (H + 4) // 4, (W + 4) // 4
+        xs = xp.reshape(B, bt, 2, bh, 4, bw, 4, 3)
+        xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, bt, bh, bw, 96)
+        out = jax.lax.conv_general_dilated(
+            xs, k.astype(xs.dtype), window_strides=(1, 1, 1),
+            padding='VALID', dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        return out + bias.astype(out.dtype)
+
+
 class MViTV2(nn.Module):
     """MViTv2 feature extractor; returns the CLS-token features (B, 768) —
     what the reference's TSP usage consumes (TSPmodel.py:82-85 strips the
@@ -402,8 +434,7 @@ class MViTV2(nn.Module):
     def __call__(self, x, train=False):
         c = self.cfg
         # patchify stem: 3x7x7 conv stride (2,4,4)
-        x = nn.Conv(c.embed_dim, (3, 7, 7), strides=(2, 4, 4),
-                    padding=[(1, 1), (3, 3), (3, 3)], name='patch_embed')(x)
+        x = PatchEmbed(c.embed_dim, name='patch_embed')(x)
         B, t, h, w, C = x.shape
         thw = (t, h, w)
         x = x.reshape(B, t * h * w, C)
