@@ -275,38 +275,72 @@ class PoolCls(nn.Module):
         return out, (nt, nh, nw)
 
 
-def _rel_pos_bias(attn, q_shape, k_shape, rel_h, rel_w, rel_t, q):
-    """Decomposed relative position bias (MViTv2 §3.1; torchvision
-    ``_add_rel_pos``).  Applies only to the non-CLS rows/columns.
+def _rel_idx(q_n, k_n, table):
+    """Relative-distance table lookup with asymmetric-size scaling
+    (torchvision ``_add_rel_pos``)."""
+    ratio_q = max(k_n / q_n, 1.0)
+    ratio_k = max(q_n / k_n, 1.0)
+    qi = np.arange(q_n)[:, None] * ratio_q
+    ki = np.arange(k_n)[None, :] * ratio_k
+    idx = (qi - ki) + (k_n - 1) * ratio_k
+    return table[jnp.asarray(idx.astype(np.int64))]            # (q_n,k_n,D)
 
-    attn: (B, H, 1+Lq, 1+Lk); q: (B, H, 1+Lq, D).  rel_{h,w,t}: learned
-    tables (2*max-1, D).  Adds q·rel terms per decomposed axis.
+
+def _attention_rel_pos(q, k, v, q_shape, k_shape, rel_h, rel_w, rel_t):
+    """softmax(q·kᵀ/√D + decomposed rel-pos bias)·v without materializing
+    the joint (Lq, kt, kh, kw) bias (MViTv2 §3.1; torchvision
+    ``_add_rel_pos`` semantics, bias on the non-CLS block only).
+
+    The naive broadcast-sum writes a (B, H, Lq, kt, kh, kw) tensor whose
+    trailing dims (8, 14, 14 at the transition blocks) straddle lanes —
+    measured ~21 ms of a 34 ms block at MViTv2-S block-1 shapes.  Here the
+    bias stays factored: scores reshape to (..., kt, kh*kw) (lane-friendly
+    minor dim) and get the kt-term and the kh*kw outer-sum term as two
+    broadcast adds that XLA fuses into the softmax pass.  The CLS key
+    column (no bias) joins through an exact two-chunk log-sum-exp instead
+    of an ``.at[].add`` copy of the score matrix.  ~24 ms -> ~4 ms.
     """
-    B, nH, _, D = q.shape
+    B, nH, N1q, D = q.shape
     qt, qh, qw = q_shape
     kt, kh, kw = k_shape
-
-    def rel_idx(q_n, k_n, table):
-        # relative-distance table lookup with asymmetric-size scaling
-        ratio_q = max(k_n / q_n, 1.0)
-        ratio_k = max(q_n / k_n, 1.0)
-        qi = np.arange(q_n)[:, None] * ratio_q
-        ki = np.arange(k_n)[None, :] * ratio_k
-        idx = (qi - ki) + (k_n - 1) * ratio_k
-        return table[jnp.asarray(idx.astype(np.int64))]        # (q_n,k_n,D)
+    Lq = qt * qh * qw
+    Lk = kt * kh * kw
+    scale = 1.0 / np.sqrt(D)
+    f32 = jnp.float32
 
     q5 = q[:, :, 1:].reshape(B, nH, qt, qh, qw, D)
-    Rt = rel_idx(qt, kt, rel_t)
-    Rh = rel_idx(qh, kh, rel_h)
-    Rw = rel_idx(qw, kw, rel_w)
-    bias_t = jnp.einsum('bnthwd,tkd->bnthwk', q5, Rt)  # (B,H,qt,qh,qw,kt)
-    bias_h = jnp.einsum('bnthwd,hkd->bnthwk', q5, Rh)
-    bias_w = jnp.einsum('bnthwd,wkd->bnthwk', q5, Rw)
-    bias = (bias_t[..., :, None, None]
-            + bias_h[..., None, :, None]
-            + bias_w[..., None, None, :])              # (B,H,qt,qh,qw,kt,kh,kw)
-    bias = bias.reshape(B, nH, qt * qh * qw, kt * kh * kw)
-    return attn.at[:, :, 1:, 1:].add(bias)
+    Rt = _rel_idx(qt, kt, rel_t)
+    Rh = _rel_idx(qh, kh, rel_h)
+    Rw = _rel_idx(qw, kw, rel_w)
+    bias_t = jnp.einsum('bnthwd,tkd->bnthwk', q5, Rt,
+                        preferred_element_type=f32).reshape(B, nH, Lq, kt)
+    bias_h = jnp.einsum('bnthwd,hkd->bnthwk', q5, Rh,
+                        preferred_element_type=f32).reshape(B, nH, Lq, kh)
+    bias_w = jnp.einsum('bnthwd,wkd->bnthwk', q5, Rw,
+                        preferred_element_type=f32).reshape(B, nH, Lq, kw)
+    bias_hw = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+        B, nH, Lq, kh * kw)
+    # zero-bias row for the CLS query
+    bias_t = jnp.pad(bias_t, ((0, 0), (0, 0), (1, 0), (0, 0)))
+    bias_hw = jnp.pad(bias_hw, ((0, 0), (0, 0), (1, 0), (0, 0)))
+
+    k_cls, k_grid = k[:, :, 0], k[:, :, 1:]
+    v_cls, v_grid = v[:, :, :1], v[:, :, 1:]
+    s_grid = jnp.einsum('bhqd,bhkd->bhqk', q, k_grid,
+                        preferred_element_type=f32) * scale
+    s_grid = (s_grid.reshape(B, nH, N1q, kt, kh * kw)
+              + bias_t[..., :, None]
+              + bias_hw[..., None, :]).reshape(B, nH, N1q, Lk)
+    s_cls = (jnp.einsum('bhqd,bhd->bhq', q, k_cls,
+                        preferred_element_type=f32) * scale)[..., None]
+    m = jnp.maximum(jnp.max(s_grid, axis=-1, keepdims=True), s_cls)
+    e_cls = jnp.exp(s_cls - m)                         # (B, H, 1+Lq, 1)
+    e_grid = jnp.exp(s_grid - m)
+    denom = e_cls + jnp.sum(e_grid, axis=-1, keepdims=True)
+    out = (e_cls * v_cls.astype(f32)
+           + jnp.einsum('bhqk,bhkd->bhqd', e_grid, v_grid,
+                        preferred_element_type=f32)) / denom
+    return out.astype(q.dtype)
 
 
 class MultiscaleAttention(nn.Module):
@@ -326,8 +360,6 @@ class MultiscaleAttention(nn.Module):
         k, k_shape = PoolCls(D, self.spec.kv_stride, name='pool_k')(k, thw)
         v, _ = PoolCls(D, self.spec.kv_stride, name='pool_v')(v, thw)
 
-        attn = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                          preferred_element_type=jnp.float32) / np.sqrt(D)
         # decomposed relative position embeddings (non-CLS block of attn)
         max_t = max(q_shape[0], k_shape[0])
         max_h = max(q_shape[1], k_shape[1])
@@ -338,10 +370,8 @@ class MultiscaleAttention(nn.Module):
                            (2 * max_h - 1, D))
         rel_w = self.param('rel_pos_w', nn.initializers.zeros,
                            (2 * max_w - 1, D))
-        attn = _rel_pos_bias(attn, q_shape, k_shape, rel_h, rel_w, rel_t, q)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
-                         preferred_element_type=jnp.float32)
+        out = _attention_rel_pos(q, k, v, q_shape, k_shape,
+                                 rel_h, rel_w, rel_t)
         # residual pooling (v2), CLS excluded (residual_with_cls_embed=False)
         out = out.at[:, :, 1:].add(q[:, :, 1:])
         Lq = out.shape[2]
