@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ms_deform_attn_sample_values
-from ..ops.dsa_attention import dsa_additive_attention
+from ..ops.dsa_step import dsa_sample_attend
 from ..ops.embed import embed_lookup
 from .deformable_transformer import msda_offset_bias_init
 
@@ -384,24 +384,23 @@ class DSACaptionHead(_CaptionHeadBase):
             h_top = state[0][-1]                              # (n, R)
             offsets = (h_top.reshape(B, Pq, R) @ off_w[:R]
                        + off_const).reshape(B, Pq, H, L, P)
-            loc = (ref_center[:, :, None, :, None]
-                   + offsets * offset_scale[:, :, None, :, None])
-            taps = ms_deform_attn_sample_values(
-                value, tuple(temporal_shapes), loc, mode='border')
-            # (B, Pq, H, L, P, Dh) -> (n, H, L*P, Dh)
-            taps = taps.reshape(n, H, L * P, Dh)
-
             if att is not None:
-                # additive attention over sample points (LSTM_DSA.py:245-257)
-                # — fused op keeps the (n, H, LP, att_hid) tanh activation
-                # in VMEM instead of HBM (see ops/dsa_attention.py)
-                hvec = h_top @ att['h2att_w'] + att['h2att_b']
-                ctx = dsa_additive_attention(
-                    taps, hvec, att['ctx2att_w'], att['ctx2att_b'],
+                # one fused launch per word step: tap sampling + additive
+                # attention live entirely in VMEM (see ops/dsa_step.py);
+                # impl='ref' composes the same math from the standalone ops
+                hvec = (h_top @ att['h2att_w']
+                        + att['h2att_b']).reshape(B, Pq, -1)
+                ctx = dsa_sample_attend(
+                    value, offsets, ref_center, offset_scale, hvec,
+                    att['ctx2att_w'], att['ctx2att_b'],
                     att['alpha_w'][:, 0], att['alpha_b'][0],
-                    impl=self.att_impl)
+                    tuple(temporal_shapes), impl=self.att_impl)
             else:
-                ctx = taps.mean(axis=2)
+                loc = (ref_center[:, :, None, :, None]
+                       + offsets * offset_scale[:, :, None, :, None])
+                taps = ms_deform_attn_sample_values(
+                    value, tuple(temporal_shapes), loc, mode='border')
+                ctx = taps.reshape(n, H, L * P, Dh).mean(axis=2)
             ctx = ctx.reshape(n, H * Dh)
             return _LSTMParams.step_pre(lstm, z0 + ctx @ ctx_w, state)
         return (embed, token_w, const_ih, logit, run)

@@ -1,0 +1,349 @@
+"""Fused caption-step op: deformable tap sampling + additive attention.
+
+Reference: the LSTM-DSA word step (``pdvc/CaptioningHead/LSTM_DSA.py:233-257``
++ ``ms_deform_attn_for_caption.py:102-123``): at every word the caption LSTM
+samples H·L·P value taps at hidden-state-dependent locations and attends
+over them with a small additive attention.
+
+The jnp composition (gather + one-hot-matmul VJP + fused attention op) runs
+this as several HBM-bound ops per scan step; honest profiling puts the
+sampling alone at ~20 ms of the 48 ms flagship train step (19 steps,
+fwd+bwd).  This op fuses the whole block per batch-row grid cell:
+
+    loc   = ref[:, l] + offsets[:, h, l, p] * scale[:, l]   (outside, XLA)
+    taps  = border-mode linear interp of value at loc      (one-hot matmuls)
+    u     = tanh(taps @ Wc + bc + hvec)                    (additive attn)
+    w     = softmax_lp(u @ alpha + ab)
+    ctx   = sum_lp w * taps
+
+so taps / one-hots / the (·, LP, A) tanh activation only ever live in VMEM.
+The custom-VJP boundary sits at (value, loc, hvec, attention params): the
+backward kernel recomputes everything in VMEM and emits analytic gradients
+(validated against ``jax.vjp`` of the jnp composition); the offsets/ref/
+scale -> loc chain stays outside under plain autodiff (tiny elementwise).
+
+Mosaic layout note: locations enter the kernel pre-flattened as
+(B, H, L, Q*P) so every in-kernel reshape merges/splits *major* dims only —
+lane-dim shape casts are unsupported on TPU.
+
+Only ``mode='border'`` is implemented — the caption path always uses the
+reference's grid_sample border semantics (``ms_deform_attn_func.py:58-59``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ms_deform_attn import _level_starts, _tap_indices_weights
+
+# the backward's per-cell working set ((Q, H, LP, A) attention
+# intermediates) exceeds Mosaic's 16 MB default scoped-vmem budget at the
+# flagship A=512; v5e has 128 MB of VMEM — allow up to half of it
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+# ----------------------------------------------------------------------------
+# jnp reference (oracle; also the CPU path)
+# ----------------------------------------------------------------------------
+
+def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
+                          ctx_w, ctx_b, alpha_w, alpha_b, temporal_shapes):
+    """value: (B, S, H, Dh); offsets: (B, Q, H, L, P); ref_center /
+    offset_scale: (B, Q, L); hvec: (B, Q, A); ctx_w: (Dh, A); ctx_b: (A,);
+    alpha_w: (A,); alpha_b: ().  Returns ctx (B, Q, H, Dh)."""
+    from .ms_deform_attn import ms_deform_attn_sample_values
+    loc = (ref_center[:, :, None, :, None]
+           + offsets * offset_scale[:, :, None, :, None])
+    taps = ms_deform_attn_sample_values(value, tuple(temporal_shapes), loc,
+                                        mode='border')
+    B, Q, H, L, P, Dh = taps.shape
+    taps = taps.reshape(B, Q, H, L * P, Dh)
+    u = jnp.tanh(taps @ ctx_w + ctx_b + hvec[:, :, None, None, :])
+    dot = u @ alpha_w + alpha_b
+    w = jax.nn.softmax(dot, axis=-1)                    # (B, Q, H, LP)
+    return jnp.einsum('bqhp,bqhpd->bqhd', w, taps)
+
+
+# ----------------------------------------------------------------------------
+# in-kernel helpers
+# ----------------------------------------------------------------------------
+
+def _interp_mats(loc_hl, T):
+    """loc_hl: (QP,) normalized locations for one (head, level).
+    Returns (M, idx_lo, idx_hi): M (QP, T) interp one-hot-pair matrix."""
+    pos = loc_hl * T - 0.5
+    i_lo = jnp.floor(pos)
+    w_hi = pos - i_lo
+    w_lo = 1.0 - w_hi
+    idx_lo = jnp.clip(i_lo, 0, T - 1).astype(jnp.int32)
+    idx_hi = jnp.clip(i_lo + 1.0, 0, T - 1).astype(jnp.int32)
+    QP = loc_hl.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (QP, T), 1)
+    M = (w_lo[:, None] * (idx_lo[:, None] == iota)
+         + w_hi[:, None] * (idx_hi[:, None] == iota)).astype(jnp.float32)
+    return M, idx_lo, idx_hi
+
+
+def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh):
+    """value: (S, H, Dh); loc: (H, L, QP).  Returns taps (Q, H, L, P, Dh)
+    and the per-(l,h) interp matrices for the backward."""
+    starts = _level_starts(temporal_shapes)
+    taps_levels = []
+    Ms = {}
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        v_l = value[s0:s0 + T]                           # (T, H, Dh)
+        heads = []
+        for h in range(H):
+            M, _, _ = _interp_mats(loc[h, l], T)
+            Ms[(l, h)] = M
+            t_h = jnp.dot(M, v_l[:, h],
+                          preferred_element_type=jnp.float32)  # (QP, Dh)
+            heads.append(t_h.reshape(Q, P, Dh)[:, None])  # (Q, 1, P, Dh)
+        taps_levels.append(jnp.concatenate(heads, axis=1))  # (Q, H, P, Dh)
+    taps = jnp.stack(taps_levels, axis=2)                # (Q, H, L, P, Dh)
+    return taps, Ms
+
+
+def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
+                   A):
+    tflat = taps.reshape(Q * H * L * P, Dh)
+    u = (jnp.dot(tflat, cw_ref[:], preferred_element_type=jnp.float32)
+         .reshape(Q, H, L * P, A)
+         + cb_ref[0][None, None, None, :]
+         + hvec[:, None, None, :])
+    a = jnp.tanh(u)
+    dot = jnp.sum(a * aw_ref[0][None, None, None, :], axis=-1) + ab
+    dot = dot - jnp.max(dot, axis=-1, keepdims=True)
+    e = jnp.exp(dot)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)           # (Q, H, LP)
+    return u, a, w
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernels (grid over B)
+# ----------------------------------------------------------------------------
+
+def _make_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
+    def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
+               out_ref):
+        value = value_ref[0]                             # (S, H, Dh)
+        loc = loc_ref[0]                                 # (H, L, QP)
+        hvec = hvec_ref[0]                               # (Q, A)
+        taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh)
+        _, _, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
+                                 ab_ref[0, 0], Q, H, L, P, Dh, A)
+        ctx = jnp.sum(w.reshape(Q, H, L * P, 1)
+                      * taps.reshape(Q, H, L * P, Dh), axis=2)
+        out_ref[0] = ctx
+    return kernel
+
+
+def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
+    starts = _level_starts(temporal_shapes)
+
+    def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
+               g_ref,
+               dvalue_ref, dloc_ref, dhvec_ref, dcw_ref, dcb_ref, daw_ref,
+               dab_ref):
+        b = pl.program_id(0)
+        value = value_ref[0]
+        loc = loc_ref[0]
+        hvec = hvec_ref[0]
+        g = g_ref[0]                                     # (Q, H, Dh)
+
+        taps, Ms = _compute_taps(value, loc, temporal_shapes, Q, H, L, P,
+                                 Dh)
+        _, a, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
+                                 ab_ref[0, 0], Q, H, L, P, Dh, A)
+        tflat = taps.reshape(Q, H, L * P, Dh)
+
+        # ---- attention backward (ctx = sum_p w_p t_p)
+        dw = jnp.sum(tflat * g[:, :, None, :], axis=-1)  # (Q, H, LP)
+        dtaps = w[..., None] * g[:, :, None, :]          # (Q, H, LP, Dh)
+        ddot = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
+        da = ddot[..., None] * aw_ref[0][None, None, None, :]
+        du = da * (1.0 - a * a)                          # (Q, H, LP, A)
+        dtaps = dtaps + jnp.dot(
+            du.reshape(Q * H * L * P, A), cw_ref[:].T,
+            preferred_element_type=jnp.float32).reshape(Q, H, L * P, Dh)
+        dhvec_ref[0] = jnp.sum(du, axis=(1, 2))          # (Q, A)
+
+        @pl.when(b == 0)
+        def _():
+            dcw_ref[:] = jnp.zeros_like(dcw_ref)
+            dcb_ref[:] = jnp.zeros_like(dcb_ref)
+            daw_ref[:] = jnp.zeros_like(daw_ref)
+            dab_ref[:] = jnp.zeros_like(dab_ref)
+        dcw_ref[:] += jnp.dot(
+            tflat.reshape(Q * H * L * P, Dh).T,
+            du.reshape(Q * H * L * P, A),
+            preferred_element_type=jnp.float32)
+        dcb_ref[:] += jnp.sum(du, axis=(0, 1, 2))[None, :]
+        daw_ref[:] += jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
+        dab_ref[:] += jnp.sum(ddot)[None, None]
+
+        # ---- sampling backward, per level / head
+        dtaps5 = dtaps.reshape(Q, H, L, P, Dh)
+        dvalue_levels = []
+        dloc_rows = []                                   # per (h, l)
+        for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+            v_l = value[s0:s0 + T]
+            dv_heads = []
+            for h in range(H):
+                M = Ms[(l, h)]
+                _, idx_lo, idx_hi = _interp_mats(loc[h, l], T)
+                dt_h = dtaps5[:, h, l].reshape(Q * P, Dh)
+                dv_heads.append(jnp.dot(
+                    M.T, dt_h,
+                    preferred_element_type=jnp.float32)[:, None])
+                dM = jnp.dot(dt_h, v_l[:, h].T,
+                             preferred_element_type=jnp.float32)  # (QP, T)
+                QP = Q * P
+                iota = jax.lax.broadcasted_iota(jnp.int32, (QP, T), 1)
+                dw_lo = jnp.sum(jnp.where(idx_lo[:, None] == iota, dM, 0.0),
+                                axis=-1)
+                dw_hi = jnp.sum(jnp.where(idx_hi[:, None] == iota, dM, 0.0),
+                                axis=-1)
+                dloc_rows.append(((dw_hi - dw_lo) * T)[None, None, :])
+            dvalue_levels.append(jnp.concatenate(dv_heads, axis=1))
+        # levels tile S contiguously (starts are the cumsum)
+        dvalue_ref[0] = jnp.concatenate(dvalue_levels, axis=0)
+        # rows were appended l-major then h: reorder to (H, L, QP)
+        per_l = [jnp.concatenate(dloc_rows[l * H:(l + 1) * H], axis=0)
+                 for l in range(L)]                      # each (H, 1, QP)
+        dloc_ref[0] = jnp.concatenate(per_l, axis=1)     # (H, L, QP)
+    return kernel
+
+
+def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+                 temporal_shapes, Q, interpret, backward=False, g=None):
+    B, S, H, Dh = value.shape
+    L = len(temporal_shapes)
+    QP = loc_t.shape[-1]
+    P = QP // Q
+    A = hvec.shape[-1]
+    f32 = jnp.float32
+    args = (value.astype(f32), loc_t.astype(f32), hvec.astype(f32),
+            ctx_w.astype(f32), ctx_b.astype(f32)[None, :],
+            alpha_w.astype(f32)[None, :],
+            jnp.asarray(alpha_b, f32).reshape(1, 1))
+    in_specs = [
+        pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dh, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if not backward:
+        out = pl.pallas_call(
+            _make_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Q, H, Dh), f32),
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(*args)
+        return out.astype(value.dtype)
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A),
+        grid=(B,),
+        in_specs=in_specs + [
+            pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dh, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, H, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, L, QP), f32),
+            jax.ShapeDtypeStruct((B, Q, A), f32),
+            jax.ShapeDtypeStruct((Dh, A), f32),
+            jax.ShapeDtypeStruct((1, A), f32),
+            jax.ShapeDtypeStruct((1, A), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args, g.astype(f32))
+    dv, dloc, dhvec, dcw, dcb, daw, dab = outs
+    return (dv.astype(value.dtype), dloc.astype(loc_t.dtype),
+            dhvec.astype(hvec.dtype), dcw.astype(ctx_w.dtype),
+            dcb[0].astype(ctx_b.dtype), daw[0].astype(alpha_w.dtype),
+            dab[0, 0].astype(jnp.asarray(alpha_b).dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+              temporal_shapes, Q, interpret):
+    return _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+                        temporal_shapes, Q, interpret)
+
+
+def _dsa_core_fwd(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+                  temporal_shapes, Q, interpret):
+    out = _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+                       temporal_shapes, Q, interpret)
+    return out, (value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b)
+
+
+def _dsa_core_bwd(temporal_shapes, Q, interpret, res, g):
+    return _pallas_core(*res, temporal_shapes, Q, interpret, backward=True,
+                        g=g)
+
+
+_dsa_core.defvjp(_dsa_core_fwd, _dsa_core_bwd)
+
+
+# ----------------------------------------------------------------------------
+# dispatcher
+# ----------------------------------------------------------------------------
+
+def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
+                      ctx_w, ctx_b, alpha_w, alpha_b, temporal_shapes,
+                      impl='auto'):
+    """Fused tap sampling + additive attention (see module docstring).
+
+    impl: 'auto' (pallas on TPU, ref elsewhere), 'ref', 'pallas',
+    'pallas_interpret'.
+    """
+    if impl == 'auto':
+        impl = 'pallas' if jax.default_backend() == 'tpu' else 'ref'
+    if impl == 'ref':
+        return dsa_sample_attend_ref(value, offsets, ref_center,
+                                     offset_scale, hvec, ctx_w, ctx_b,
+                                     alpha_w, alpha_b, temporal_shapes)
+    if impl in ('pallas', 'pallas_interpret'):
+        B, Q, H, L, P = offsets.shape
+        loc = (ref_center[:, :, None, :, None]
+               + offsets * offset_scale[:, :, None, :, None])
+        loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
+        return _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w,
+                         alpha_b, tuple(temporal_shapes), Q,
+                         impl == 'pallas_interpret')
+    raise ValueError(f'unknown dsa step impl {impl!r}')

@@ -1,0 +1,87 @@
+"""Fused caption-step op (sampling + additive attention): Pallas
+(interpret) vs the jnp composition, forward and all gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvc_tpu.ops.dsa_step import dsa_sample_attend, dsa_sample_attend_ref
+
+SHAPES = dict(B=3, S=24 + 12 + 6, H=2, Dh=8, Q=5, L=3, P=4, A=16,
+              temporal_shapes=(24, 12, 6))
+
+
+def make_inputs(seed=0, **over):
+    p = dict(SHAPES)
+    p.update(over)
+    rng = np.random.default_rng(seed)
+    B, S, H, Dh, Q, L, P, A = (p[k] for k in
+                               ('B', 'S', 'H', 'Dh', 'Q', 'L', 'P', 'A'))
+    value = rng.standard_normal((B, S, H, Dh)).astype(np.float32)
+    offsets = (rng.standard_normal((B, Q, H, L, P)) * 2).astype(np.float32)
+    ref = rng.uniform(0.1, 0.9, (B, Q, L)).astype(np.float32)
+    scale = rng.uniform(0.02, 0.3, (B, Q, L)).astype(np.float32)
+    hvec = rng.standard_normal((B, Q, A)).astype(np.float32)
+    cw = (rng.standard_normal((Dh, A)) * 0.3).astype(np.float32)
+    cb = (rng.standard_normal(A) * 0.1).astype(np.float32)
+    aw = (rng.standard_normal(A) * 0.3).astype(np.float32)
+    ab = np.float32(0.07)
+    args = tuple(jnp.asarray(x) for x in
+                 (value, offsets, ref, scale, hvec, cw, cb, aw, ab))
+    return args, tuple(p['temporal_shapes'])
+
+
+def test_forward_parity():
+    args, shapes = make_inputs()
+    want = dsa_sample_attend_ref(*args, shapes)
+    got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_flagshiplike():
+    # flagship-ish: H=8, Dh=64, L=4, P=4, A=512, S=375
+    args, shapes = make_inputs(B=2, S=200 + 100 + 50 + 25, H=8, Dh=64,
+                               Q=6, L=4, P=4, A=512,
+                               temporal_shapes=(200, 100, 50, 25))
+    want = dsa_sample_attend_ref(*args, shapes)
+    got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gradient_parity():
+    args, shapes = make_inputs(seed=3)
+
+    def loss(impl):
+        def f(*a):
+            out = dsa_sample_attend(*a, shapes, impl=impl)
+            wts = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)
+                          .reshape(out.shape))
+            return jnp.sum(out * wts)
+        return f
+
+    argnums = tuple(range(9))
+    g_ref = jax.grad(loss('ref'), argnums=argnums)(*args)
+    g_pal = jax.grad(loss('pallas_interpret'), argnums=argnums)(*args)
+    names = ['value', 'offsets', 'ref_center', 'offset_scale', 'hvec',
+             'ctx_w', 'ctx_b', 'alpha_w', 'alpha_b']
+    for name, a, b in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+def test_out_of_range_taps_border():
+    """Locations pushed far out of range must follow border semantics and
+    give zero location-gradient there."""
+    args, shapes = make_inputs(seed=5)
+    offsets = args[1] + 50.0       # everything clamps
+    args = (args[0], offsets) + args[2:]
+    want = dsa_sample_attend_ref(*args, shapes)
+    got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda o: jnp.sum(dsa_sample_attend(
+        args[0], o, *args[2:], shapes, impl='pallas_interpret') ** 2))(
+        offsets)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
