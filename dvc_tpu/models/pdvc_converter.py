@@ -16,7 +16,18 @@ Layout notes (torch key -> flax path):
   packed ``self_attn.in_proj_weight`` splits into flax MHA q/k/v heads;
   norm3 -> ``ffn/norm``
 * ``caption_head.{i}`` -> shared ``caption_head`` (the reference shares one
-  head across decoder layers when ``share_caption_head`` — pdvc.py:111-118)
+  head across decoder layers when ``share_caption_head`` — pdvc.py:111-118).
+  Both the 'light' LSTM head (LSTM.py:141-174) and the 'standard' LSTM-DSA
+  head (LSTM_DSA.py:189-270) convert; for the latter the per-step caption
+  sampler's ``core.deformable_att.sampling_offsets/value_proj``
+  (ms_deform_attn_for_caption.py:54-57) map to
+  ``dsa_sampling_offsets_*``/``dsa_value_*`` and the additive-attention
+  ``core.ctx2att/h2att/alpha_net`` (LSTM_DSA.py:217-220) map to the
+  like-named flax params.  The reference's
+  ``core.deformable_att.attention_weights/output_proj`` are *dead* in its
+  return_value path (ms_deform_attn_for_caption.py:115-123 returns raw
+  sampled taps; the attention weights and the output projection are
+  computed/created but never consumed) — they are accepted and discarded
 * ``transformer.decoder.bbox_head.*`` are aliases of ``bbox_head.*`` under
   box refinement (pdvc.py:150-156) and are skipped
 * ``transformer.pos_trans*`` / ``enc_output*`` only matter in two-stage
@@ -195,6 +206,33 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
                     'weight_ih_', 'rnn_w_ih_').replace(
                     'weight_hh_', 'rnn_w_hh_')), _t_lin(sd[k]))
                 used.add(k)
+        # ---- 'standard' (LSTM-DSA) head extras ------------------------
+        dsa = base + '.core.deformable_att'
+        if f'{dsa}.sampling_offsets.weight' in sd:
+            # joint query = [LSTM hidden ; event query] (LSTM_DSA.py:233),
+            # so the transposed (2d, HLP) kernel's rows split R | d exactly
+            # as the flax off_w[:R] / off_w[R:] hoisting expects
+            put(('caption_head', 'dsa_sampling_offsets_w'),
+                _t_lin(take(f'{dsa}.sampling_offsets.weight')))
+            put(('caption_head', 'dsa_sampling_offsets_b'),
+                take(f'{dsa}.sampling_offsets.bias'))
+            put(('caption_head', 'dsa_value_w'),
+                _t_lin(take(f'{dsa}.value_proj.weight')))
+            put(('caption_head', 'dsa_value_b'),
+                take(f'{dsa}.value_proj.bias'))
+            # dead in the reference's return_value path — discard
+            for dead in ('attention_weights', 'output_proj'):
+                for suf in ('weight', 'bias'):
+                    used.add(f'{dsa}.{dead}.{suf}')
+            for tname, flaxname in (('ctx2att', 'ctx2att'),
+                                    ('h2att', 'h2att'),
+                                    ('alpha_net', 'alpha_net')):
+                tkey = f'{base}.core.{tname}'
+                if f'{tkey}.weight' in sd:   # absent when att_hid_size == 0
+                    put(('caption_head', f'{flaxname}_w'),
+                        _t_lin(take(f'{tkey}.weight')))
+                    put(('caption_head', f'{flaxname}_b'),
+                        take(f'{tkey}.bias'))
 
     leftovers = [k for k in sd if k not in used
                  and not any(k.startswith(p) for p in _IGNORABLE_PREFIXES)]

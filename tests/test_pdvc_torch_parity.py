@@ -57,8 +57,8 @@ def _numpy_batch(opt, seed=3):
     rng = np.random.default_rng(seed)
     B, T, C = opt.batch_size, opt.frame_embedding_num, opt.feature_dim
     G, Lc = opt.gt_proposal_sample_num, opt.max_caption_len
-    durations = [30.0, 44.0]
-    n_events = [3, 2]
+    durations = [30.0, 44.0][:B]
+    n_events = [3, 2][:B]
     video = rng.standard_normal((B, T, C)).astype(np.float32)
 
     boxes = np.zeros((B, G, 2), np.float32)
@@ -115,9 +115,19 @@ def _numpy_batch(opt, seed=3):
     return batch, dt
 
 
+_STANDARD_OVER = dict(
+    # torch LSTM-DSA constraints: the joint query [hidden ; query] feeds a
+    # Linear(2*hidden_dim) (LSTM_DSA.py:54,233) so rnn_size == hidden_dim,
+    # and its caption_prediction path asserts batch size 1 (LSTM_DSA.py:59)
+    caption_decoder_type='standard', att_hid_size=64, rnn_size=512,
+    batch_size=1, caption_cost_type='loss')
+
+
 @pytest.mark.slow
-def test_pdvc_forward_loss_parity():
-    opt = _opt()
+@pytest.mark.parametrize('over', [{}, _STANDARD_OVER],
+                         ids=['light', 'standard_dsa'])
+def test_pdvc_forward_loss_parity(over):
+    opt = _opt(**over)
     from pdvc.pdvc import build as ref_build
     torch.manual_seed(11)
     model, criterion, _ = ref_build(opt)
