@@ -126,7 +126,7 @@ class CaptionHeadConfig:
     cap_dec_n_points: int = 4
     cap_num_feature_levels: int = 4
     # rematerialize the word-scan step in the backward pass.  With the fused
-    # Pallas attention (ops/dsa_attention.py) the big per-step activation
+    # sample+attend step kernel (ops/dsa_step.py) the big per-step activation
     # never reaches HBM, so recomputing the step costs more than it saves —
     # off by default; kept for the jnp attention path / memory-tight runs
     scan_remat: bool = False
