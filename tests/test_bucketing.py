@@ -4,6 +4,9 @@ import numpy as np
 
 from dvc_tpu.train import Trainer
 from test_model import make_batch, tiny_opt
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def test_bucketing_loss_identical():

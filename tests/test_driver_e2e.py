@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from synth import make_synth_dataset
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope='module')
 def synth_env(tmp_path_factory):

@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 cv2 = pytest.importorskip('cv2')
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -6,6 +6,7 @@ import numpy as np
 from dvc_tpu.models import PDVCConfig, build_weight_dict
 from dvc_tpu.models.fusion import FusionPDVC
 from test_model import make_batch, tiny_opt
+import pytest
 
 
 def make_fusion_batch(rng, B=2, T=24, C=16, G=3, Lc=8):
@@ -15,6 +16,7 @@ def make_fusion_batch(rng, B=2, T=24, C=16, G=3, Lc=8):
     return batch
 
 
+@pytest.mark.heavy
 def test_fusion_forward_and_grad():
     opt = tiny_opt()
     cfg = PDVCConfig.from_opt(opt)
@@ -40,6 +42,7 @@ def test_fusion_forward_and_grad():
     assert np.abs(np.asarray(sound_g)).sum() > 0
 
 
+@pytest.mark.heavy
 def test_fusion_eval_forward():
     opt = tiny_opt()
     cfg = PDVCConfig.from_opt(opt)

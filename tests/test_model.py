@@ -83,6 +83,7 @@ def test_train_forward_losses(model_and_params):
     assert np.isfinite(total)
 
 
+@pytest.mark.heavy
 def test_train_backward(model_and_params):
     opt, model, params, batch = model_and_params
     wd = build_weight_dict(opt)

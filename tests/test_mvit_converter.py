@@ -20,6 +20,8 @@ from dvc_tpu.models.tsp import (MViTConfig, MViTV2, convert_mvit,
                                 mvit_block_specs)
 from torch_mvit_ref import TorchMViT
 
+pytestmark = pytest.mark.heavy
+
 TINY = MViTConfig(embed_dim=8, depths=(1, 2), heads=(1, 2),
                   temporal_size=4, spatial_size=16, kv_stride0=2,
                   feature_dim=16)

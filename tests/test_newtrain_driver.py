@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from synth import make_synth_dataset
 
+pytestmark = pytest.mark.heavy
+
 
 def test_newtrain_driver(tmp_path):
     anno, feats, vocab, vsize = make_synth_dataset(str(tmp_path))

@@ -9,6 +9,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from synth import make_synth_dataset
 
+pytestmark = pytest.mark.heavy
+
 
 def test_dense_captioner(tmp_path):
     from dvc_tpu.utils.config import load_config

@@ -8,6 +8,8 @@ from dvc_tpu.parallel import make_mesh, shard_batch
 from dvc_tpu.train import Trainer
 from test_model import make_batch, tiny_opt
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope='module')
 def setup():

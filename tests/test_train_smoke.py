@@ -11,6 +11,8 @@ from dvc_tpu.train import (Trainer, multistep_lr, ss_prob_for_epoch,
 from dvc_tpu.utils.config import load_config
 from synth import make_synth_dataset
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope='module')
 def setup(tmp_path_factory):

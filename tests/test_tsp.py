@@ -8,6 +8,7 @@ from dvc_tpu.models.tsp import (MViTConfig, MViTV2, TSPModel, VideoResNet,
                                 tsp_cross_entropy)
 
 
+@pytest.mark.heavy
 def test_videoresnet_r3d():
     model = VideoResNet(conv_type='r3d', layers=(1, 1, 1, 1))
     x = jnp.zeros((1, 4, 32, 32, 3))
@@ -16,6 +17,7 @@ def test_videoresnet_r3d():
     assert feats.shape == (1, 512)
 
 
+@pytest.mark.heavy
 def test_videoresnet_r2plus1d():
     model = VideoResNet(conv_type='r2plus1d', layers=(1, 1, 1, 1))
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -26,6 +28,7 @@ def test_videoresnet_r2plus1d():
     assert np.all(np.isfinite(np.asarray(feats)))
 
 
+@pytest.mark.heavy
 def test_mvit_tiny():
     cfg = MViTConfig(embed_dim=8, depths=(1, 1), heads=(1, 2),
                      temporal_size=4, spatial_size=32, kv_stride0=2,
@@ -40,6 +43,7 @@ def test_mvit_tiny():
     assert np.all(np.isfinite(np.asarray(feats)))
 
 
+@pytest.mark.heavy
 def test_tsp_model_two_heads():
     model = TSPModel(backbone='r3d_18', num_classes=(5, 2), num_heads=2)
     x = jnp.zeros((2, 4, 32, 32, 3))

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvc_tpu.train.tsp_trainer import (TSPTrainer, lr_multiplier_tree,
                                        warmup_multistep_lr)
@@ -114,6 +115,7 @@ def test_sgd_weight_decay_matches_torch():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_tsp_train_bn_updates_stats_and_syncs():
     """tsp_train_bn updates the BN running stats; the global-batch
     statistics are identical on a 1-device and an 8-device data mesh

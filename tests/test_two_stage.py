@@ -6,6 +6,9 @@ import numpy as np
 
 from dvc_tpu.models import PDVC, PDVCConfig, build_weight_dict
 from test_model import make_batch, tiny_opt
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def test_gt_proposal_forward():
