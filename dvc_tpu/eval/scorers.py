@@ -373,13 +373,59 @@ _M_ALPHA, _M_BETA, _M_GAMMA, _M_DELTA = 0.85, 0.2, 0.6, 0.75
 _STEM_WEIGHT = 0.6
 _PARAPHRASE_WEIGHT = 0.6        # meteor-1.5 'en' matcher weight
 
+_function_words_cache: dict = {}
+
+
+def load_function_words(path: str):
+    """Load a meteor-1.5 function-word list (the jar's ``function/en.words``
+    resource: ``unzip -p meteor-1.5.jar function/en.words``) — one word per
+    line, ``#`` comments ignored.  Cached per path."""
+    if path in _function_words_cache:
+        return _function_words_cache[path]
+    words = set()
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            w = line.strip()
+            if w and not w.startswith('#'):
+                words.add(w.lower())
+    _function_words_cache[path] = words
+    return words
+
+
+def _active_function_words():
+    """The jar's own list via ``DVC_METEOR_FUNCTION_WORDS`` when present
+    (drop-in, zero code changes), else the built-in approximation."""
+    path = os.environ.get('DVC_METEOR_FUNCTION_WORDS')
+    if path and os.path.exists(path):
+        return load_function_words(path)
+    return _FUNCTION_WORDS
+
+
 _paraphrase_cache: dict = {}
 
 
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 def load_paraphrase_table(path: str):
-    """Load a Meteor paraphrase table (the ``paraphrase-en.gz`` artifact —
-    plain or gzipped text, two phrases per line separated by ``|||`` or a
-    tab) into a symmetric phrase -> {phrases} map.  Cached per path."""
+    """Load a Meteor paraphrase table (the ``paraphrase-en.gz`` artifact
+    shipped with meteor-1.5 — ``densevid_eval3/pycocoevalcap/meteor/
+    meteor.py:12-24`` runs the jar that reads it) into a symmetric
+    phrase -> {phrases} map.  Cached per path.
+
+    Format tolerance so the real artifact drops in with zero code changes:
+    plain or gzipped text; fields separated by ``|||`` or tabs; each entry
+    is a *weighted phrase pair* — a numeric translation-probability field
+    may lead or trail the two phrases (meteor-1.5 builds its tables with
+    the translation-pivot approach of Bannard & Callison-Burch 2005, one
+    weighted pair per line).  The entry weight is not used: the jar scores
+    every paraphrase match with the fixed 'en' matcher weight 0.6, which
+    is what ``_PARAPHRASE_WEIGHT`` reproduces."""
     if path in _paraphrase_cache:
         return _paraphrase_cache[path]
     import gzip
@@ -388,10 +434,17 @@ def load_paraphrase_table(path: str):
     with opener(path, 'rt', encoding='utf-8', errors='replace') as f:
         for line in f:
             parts = ([p.strip() for p in line.split('|||')]
-                     if '|||' in line else line.rstrip('\n').split('\t'))
-            if len(parts) < 2 or not parts[0] or not parts[1]:
+                     if '|||' in line else
+                     [p.strip() for p in line.rstrip('\n').split('\t')])
+            parts = [p for p in parts if p]
+            # drop numeric weight fields (leading or trailing)
+            while len(parts) > 2 and _is_number(parts[0]):
+                parts = parts[1:]
+            while len(parts) > 2 and _is_number(parts[-1]):
+                parts = parts[:-1]
+            if len(parts) != 2:
                 continue
-            a, b = parts[0], parts[1]
+            a, b = parts
             if a != b:
                 table[a].add(b)
                 table[b].add(a)
@@ -476,18 +529,19 @@ def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None):
     matches = _meteor_align(hyp_toks, ref_toks, paraphrases)
     if not matches:
         return 0.0
+    fwords = _active_function_words()
 
     def weighted_count(toks, idx_weights):
         content = fn = 0.0
         for i, w in idx_weights.items():
-            if toks[i] in _FUNCTION_WORDS:
+            if toks[i] in fwords:
                 fn += w
             else:
                 content += w
         return content, fn
 
     def totals(toks):
-        c = sum(1 for t in toks if t not in _FUNCTION_WORDS)
+        c = sum(1 for t in toks if t not in fwords)
         return c, len(toks) - c
 
     # phrase matches can repeat an index across pseudo-pairs: weight each

@@ -63,6 +63,53 @@ def test_meteor_paraphrase_phrase_match_tsv(tmp_path, monkeypatch):
     assert with_table > without
 
 
+def test_meteor_paraphrase_table_weighted_gz_format(tmp_path, monkeypatch):
+    """The real meteor-1.5 ``paraphrase-en.gz`` format: gzipped, weighted
+    phrase pairs — a numeric probability field may lead or trail the two
+    phrases, ``|||`` or tab separated.  Dropping the artifact in requires
+    zero code changes (the entry weight itself is unused: the jar scores
+    every paraphrase match with the fixed 'en' matcher weight 0.6)."""
+    import gzip
+    table = tmp_path / 'paraphrase-en.gz'
+    with gzip.open(table, 'wt', encoding='utf-8') as f:
+        f.write('0.4217 ||| chop up ||| cut into pieces\n'    # leading w
+                'saute\tfry lightly\t0.125\n'                 # trailing w
+                '0.33 ||| same ||| same\n'                    # identity: out
+                'junk-line-without-separator\n'
+                '0.9\n')                                      # malformed
+    tab = S.load_paraphrase_table(str(table))
+    assert tab['chop up'] == {'cut into pieces'}
+    assert tab['cut into pieces'] == {'chop up'}              # symmetric
+    assert tab['saute'] == {'fry lightly'}
+    assert 'same' not in tab
+    assert '0.9' not in tab and 'junk-line-without-separator' not in tab
+
+    monkeypatch.setenv('DVC_METEOR_PARAPHRASE', str(table))
+    with_t, _ = S.meteor_compute_score({'a': ['cut into pieces the onion']},
+                                       {'a': ['chop up the onion']})
+    monkeypatch.delenv('DVC_METEOR_PARAPHRASE')
+    without, _ = S.meteor_compute_score({'a': ['cut into pieces the onion']},
+                                        {'a': ['chop up the onion']})
+    assert with_t > without
+
+
+def test_meteor_function_word_file_override(tmp_path, monkeypatch):
+    """``DVC_METEOR_FUNCTION_WORDS`` points at the jar's ``function/en.words``
+    resource (one word per line, # comments); delta-weighting follows it."""
+    fw = tmp_path / 'en.words'
+    fw.write_text('# function words\nthe\nof\nSTIR\n')
+    assert S.load_function_words(str(fw)) == {'the', 'of', 'stir'}
+
+    gts = {'a': ['stir the pot']}
+    res = {'a': ['stir the lid']}
+    base, _ = S.meteor_compute_score(gts, res)
+    monkeypatch.setenv('DVC_METEOR_FUNCTION_WORDS', str(fw))
+    over, _ = S.meteor_compute_score(gts, res)
+    monkeypatch.delenv('DVC_METEOR_FUNCTION_WORDS')
+    # 'stir' reclassified as a function word changes the delta weighting
+    assert over != base
+
+
 def test_meteor_missing_table_falls_back(tmp_path, monkeypatch):
     """A missing table path falls back to the plain matcher stages; a
     perfect single-chunk match scores fMean=1 minus the frag penalty."""
