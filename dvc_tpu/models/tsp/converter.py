@@ -168,6 +168,21 @@ def convert_mvit(state_dict, flax_params=None):
     if n_blocks == 0:
         raise ValueError('convert_mvit: no transformer blocks found')
 
+    # Golden-manifest insurance: a 16-block checkpoint trained at the
+    # canonical 16x224x224 input (rel_pos_t of 2*8-1 rows) must carry
+    # torchvision's exact mvit_v2_s layout (see mvit_manifest.py) — this
+    # catches naming/layout drift that the flax-tree shape check cannot
+    # (both sides of the tiny-model parity test share one transcription).
+    if (n_blocks == 16 and has('blocks.0.attn.rel_pos_t')
+            and sd[prefix + 'blocks.0.attn.rel_pos_t'].shape[0] == 15):
+        from .mvit_manifest import validate_against_manifest
+        deviations = validate_against_manifest(sd, prefix)
+        if deviations:
+            raise ValueError(
+                'convert_mvit: checkpoint deviates from the torchvision '
+                'mvit_v2_s golden manifest:\n  '
+                + '\n  '.join(deviations[:12]))
+
     for i in range(n_blocks):
         src = f'blocks.{i}'
         dst = f'block_{i}'

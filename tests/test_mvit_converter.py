@@ -111,3 +111,61 @@ def test_mvit_converter_rejects_leftover_tensors():
     sd['blocks.0.attn.mystery.weight'] = torch.zeros(3)
     with pytest.raises(ValueError, match='unconsumed'):
         convert_mvit(sd)
+
+
+def test_mvit_golden_manifest_cross_check():
+    """Two independent transcriptions of torchvision's mvit_v2_s layout —
+    the analytic golden manifest (dvc_tpu/models/tsp/mvit_manifest.py,
+    derived from torchvision's construction rules) and the TorchMViT
+    re-creation — must agree name-for-name and shape-for-shape at the
+    canonical 16x224x224 configuration."""
+    from dvc_tpu.models.tsp.mvit_manifest import (mvit_v2_s_manifest,
+                                                  validate_against_manifest)
+    specs = [(s.in_ch, s.out_ch, s.heads, s.q_stride, s.kv_stride)
+             for s in mvit_block_specs(MViTConfig())]
+    tm = TorchMViT(specs, 96, (8, 56, 56), num_classes=400)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    assert validate_against_manifest(sd) == []
+    man = mvit_v2_s_manifest(with_head=False)
+    assert len(man) == 395
+    # spot-pin load-bearing shapes of the real torchvision layout
+    assert man['conv_proj.weight'] == (96, 3, 3, 7, 7)
+    assert man['blocks.0.attn.rel_pos_h'] == (111, 96)
+    assert man['blocks.1.attn.qkv.weight'] == (576, 96)
+    assert man['blocks.1.project.weight'] == (192, 96)
+    assert man['blocks.14.attn.qkv.weight'] == (2304, 384)
+    assert man['blocks.15.attn.rel_pos_h'] == (13, 96)
+    assert man['blocks.15.mlp.0.weight'] == (3072, 768)
+
+
+def test_mvit_manifest_rejects_layout_drift():
+    """A full-size checkpoint with a drifted key name or shape fails the
+    golden-manifest gate inside convert_mvit (before any flax tree is
+    needed)."""
+    from dvc_tpu.models.tsp.mvit_manifest import mvit_v2_s_manifest
+    sd = {k: np.zeros(s, np.float32)
+          for k, s in mvit_v2_s_manifest().items()}
+    # rename one tensor the way a hand-rolled port might
+    sd['blocks.2.attn.project.weight'] = sd.pop(
+        'blocks.2.attn.project.0.weight')
+    with pytest.raises(ValueError, match='golden manifest'):
+        convert_mvit(sd)
+    # shape drift (wrong rel-pos table length)
+    sd2 = {k: np.zeros(s, np.float32)
+           for k, s in mvit_v2_s_manifest().items()}
+    sd2['blocks.3.attn.rel_pos_h'] = np.zeros((55, 96), np.float32)
+    with pytest.raises(ValueError, match='golden manifest'):
+        convert_mvit(sd2)
+
+
+def test_mvit_manifest_accepts_exact_layout_with_tsp_prefix():
+    """A well-formed full-size TSP fine-tune (features. prefix + fc heads)
+    passes the manifest gate and converts."""
+    from dvc_tpu.models.tsp.mvit_manifest import mvit_v2_s_manifest
+    sd = {'features.' + k: np.zeros(s, np.float32)
+          for k, s in mvit_v2_s_manifest(with_head=False).items()}
+    sd['fc1.weight'] = np.zeros((200, 768), np.float32)
+    sd['fc1.bias'] = np.zeros((200,), np.float32)
+    params, heads = convert_mvit(sd)
+    assert 'fc1' in heads
+    assert params['block_15']['mlp_fc2']['kernel'].shape == (3072, 768)
