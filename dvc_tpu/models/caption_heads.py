@@ -230,42 +230,47 @@ class _CaptionHeadBase(nn.Module):
 
         Returns seq (N, max_caption_len) and per-token logprobs; tokens are
         zeroed once a query emits EOS (token 0).
+
+        Serving-path restructure (same outputs as the reference loop):
+
+        * the token-embedding -> LSTM-preactivation chain is hoisted into
+          one (V+1, 4R) table outside the scan — the per-step embed matmul
+          becomes a row gather;
+        * the full (N, V+1) log-softmax is never materialized: greedy needs
+          only argmax (identical on raw logits) and the winner's logprob
+          (max - logsumexp), so the scan carries two (N,) vectors instead
+          of the (N, V+1) distribution.
         """
         cfg = self.cfg
-        step_fn = self._step_fn_from_core(core, deterministic)
+        embed, token_w, const_ih, (logit_w, logit_b), run = core
         h0 = jnp.zeros((cfg.num_layers, n, cfg.rnn_size))
-        state0 = (h0, h0)
-        dummy_rng = jax.random.PRNGKey(0)
-        # t = 0: feed BOS
-        lp0, state1 = step_fn(jnp.zeros((n,), jnp.int32), state0, dummy_rng)
+        # hoisted: token id -> layer-0 LSTM preactivation row
+        token_z = embed @ token_w                         # (V+1, 4R)
+
+        def proj_step(it, state):
+            """Feed token ids; return (next argmax ids, their logprob)."""
+            out, state = run(jnp.take(token_z, it, axis=0) + const_ih,
+                             state)
+            z = out @ logit_w + logit_b                   # raw logits
+            m = jnp.max(z, axis=-1)
+            nit = jnp.argmax(z, axis=-1).astype(jnp.int32)
+            lse = m + jnp.log(jnp.sum(jnp.exp(z - m[:, None]), axis=-1))
+            return nit, m - lse, state
+
+        # t = 0: feed BOS; it1 = argmax of the first distribution
+        it1, lp1, state1 = proj_step(jnp.zeros((n,), jnp.int32),
+                                     (h0, h0))
 
         def body(carry, t):
-            state, lp, unfinished = carry
-            sample_lp = jnp.max(lp, axis=-1)
-            it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-            new_lp, state = step_fn(it, state, dummy_rng)
+            state, it, lp, unfinished = carry
+            nit, nlp, state = proj_step(it, state)
             unfinished = unfinished & (it > 0)
-            seq_t = jnp.where(unfinished, it, 0)
-            return (state, new_lp, unfinished), (seq_t, sample_lp)
+            return ((state, nit, nlp, unfinished),
+                    (it * unfinished, lp))
 
-        # reference records at t>=1 with unfinished init from the first token
-        def first(carry, t):
-            state, lp, _ = carry
-            sample_lp = jnp.max(lp, axis=-1)
-            it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-            new_lp, state = step_fn(it, state, dummy_rng)
-            unfinished = it > 0
-            return (state, new_lp, unfinished), (it * unfinished, sample_lp)
-
-        carry = (state1, lp0, jnp.ones((n,), bool))
-        carry, (s1, l1) = first(carry, 1)
-        if cfg.max_caption_len > 1:
-            carry, (ss, ls) = jax.lax.scan(
-                body, carry, jnp.arange(2, cfg.max_caption_len + 1))
-            seq = jnp.concatenate([s1[None], ss], axis=0)
-            lps = jnp.concatenate([l1[None], ls], axis=0)
-        else:
-            seq, lps = s1[None], l1[None]
+        carry = (state1, it1, lp1, jnp.ones((n,), bool))
+        carry, (seq, lps) = jax.lax.scan(
+            body, carry, jnp.arange(1, cfg.max_caption_len + 1))
         return jnp.moveaxis(seq, 0, 1), jnp.moveaxis(lps, 0, 1)
 
 

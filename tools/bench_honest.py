@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Honest in-graph benchmark for the flagship train / eval steps.
+
+On this box, `block_until_ready` through the remote-TPU tunnel does not
+reliably wait for device completion, and repeated dispatches of an
+identical (executable, args) pair can return early — wall-clock timings
+built on either are artifacts (BENCHMARKS.md "Timing protocol").  The only
+trustworthy protocol, implemented here:
+
+* run N *dependent* iterations inside ONE jitted `lax.fori_loop` — each
+  iteration perturbs its input with the previous result so XLA can neither
+  hoist nor parallelize the body;
+* fetch the result VALUE (a device-to-host transfer cannot complete before
+  the computation);
+* difference the wall times of an N1-iteration and an N2-iteration program
+  to cancel dispatch/RPC latency and the transfer itself:
+  ms/step = (t(N2) - t(N1)) / (N2 - N1).
+
+    python tools/bench_honest.py [--what train,eval,post] [--batch 16]
+                                 [--n1 8] [--n2 24]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed_value(fn, *args):
+    t0 = time.perf_counter()
+    v = jax.device_get(fn(*args))
+    return time.perf_counter() - t0, v
+
+
+def _pair(make_prog, n1, n2, *args):
+    """Compile once (dynamic trip count -> while_loop) and time N1 vs N2;
+    returns (ms_per_step, values)."""
+    import jax.numpy as jnp
+    f = make_prog
+    a1 = (jnp.int32(n1),) + args
+    a2 = (jnp.int32(n2),) + args
+    _ = jax.device_get(f(*a1))             # compile + warm
+    _ = jax.device_get(f(*a2))             # warm the N2 arg
+    t1, v1 = _timed_value(f, *a1)
+    t2, v2 = _timed_value(f, *a2)
+    return (t2 - t1) / (n2 - n1) * 1e3, (v1, v2)
+
+
+def bench_train(trainer, batch, B, n1, n2):
+    import jax.numpy as jnp
+    state = trainer.init_state(batch)
+    lr = jnp.float32(5e-5)
+    ssp = jnp.float32(0.0)
+    rng = jax.random.PRNGKey(0)
+    step = trainer._train_step_impl
+
+    @jax.jit
+    def make_prog(n, params, opt_state):
+        if True:
+            def body(i, carry):
+                params, opt_state, acc = carry
+                b = dict(batch)
+                # dependence on the previous step's loss: not hoistable
+                b['video_tensor'] = (batch['video_tensor']
+                                     + jnp.sin(acc) * 1e-12)
+                params, opt_state, losses = step(
+                    params, opt_state, b, lr, ssp,
+                    jax.random.fold_in(rng, i))
+                return params, opt_state, losses['total_loss']
+            carry = jax.lax.fori_loop(
+                0, n, body, (params, opt_state, jnp.float32(0.0)))
+            return carry[2]
+
+    ms, _ = _pair(make_prog, n1, n2, state['params'], state['opt_state'])
+    return {'train_step_ms': round(ms, 2),
+            'train_videos_per_sec': round(B / ms * 1e3, 1)}
+
+
+def bench_eval(trainer, batch, B, n1, n2):
+    import jax.numpy as jnp
+    state = trainer.init_state(batch)
+    apply = trainer.model.apply
+
+    @jax.jit
+    def make_prog(n, params):
+        def body(i, acc):
+            b = dict(batch)
+            b['video_tensor'] = (batch['video_tensor']
+                                 + jnp.sin(acc) * 1e-12)
+            out, _ = apply(params, b, eval_mode=True)
+            return (jnp.sum(out['cap_prob_eval'])
+                    + jnp.sum(out['pred_boxes'])) * 1e-6
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms, _ = _pair(make_prog, n1, n2, state['params'])
+    return {'eval_step_ms': round(ms, 2),
+            'eval_videos_per_sec': round(B / ms * 1e3, 1)}
+
+
+def bench_post(trainer, batch, B, n1, n2):
+    import jax.numpy as jnp
+
+    from dvc_tpu.models.postprocess import postprocess
+    state = trainer.init_state(batch)
+    out, _ = jax.jit(lambda p, b: trainer.model.apply(
+        p, b, eval_mode=True))(state['params'], batch)
+    out = jax.device_get(out)
+    out = {k: jnp.asarray(v) for k, v in out.items()
+           if k in ('pred_logits', 'pred_count', 'pred_boxes', 'seq',
+                    'cap_prob_eval')}
+    durations = batch['video_length'][:, 1]
+
+    @jax.jit
+    def make_prog(n, out):
+        def body(i, acc):
+            o = dict(out)
+            o['pred_logits'] = out['pred_logits'] + jnp.sin(acc) * 1e-12
+            post = postprocess(o, durations)
+            return (jnp.sum(post['scores'])
+                    + jnp.sum(post['boxes'])) * 1e-6
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms, _ = _pair(make_prog, n1, n2, out)
+    return {'postprocess_ms': round(ms, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--what', default='train,eval')
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--n1', type=int, default=8)
+    ap.add_argument('--n2', type=int, default=24)
+    ap.add_argument('--frames', type=int, default=200)
+    ap.add_argument('--max-caption-len', type=int, default=20)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_opt, _synthetic_batch
+    from dvc_tpu.train import Trainer
+    opt = _flagship_opt(frame_embedding_num=args.frames,
+                        max_caption_len=args.max_caption_len,
+                        tpu_mesh_data=1)
+    trainer = Trainer(opt)
+    batch = _synthetic_batch(opt, B=args.batch)
+
+    results = {'batch': args.batch, 'backend': jax.default_backend(),
+               'protocol': 'in-graph fori diff '
+                           f'N{args.n1}/N{args.n2}'}
+    for what in args.what.split(','):
+        fn = {'train': bench_train, 'eval': bench_eval,
+              'post': bench_post}[what.strip()]
+        results.update(fn(trainer, batch, args.batch, args.n1, args.n2))
+        print(json.dumps(results))
+    print('FINAL', json.dumps(results))
+
+
+if __name__ == '__main__':
+    import jax
+    main()
