@@ -230,32 +230,66 @@ def collate(samples, T: int, G: int, Lc: int):
 
 
 class BatchLoader:
-    """Minimal shuffling batch iterator over a DenseCaptionDataset."""
+    """Minimal shuffling batch iterator over a DenseCaptionDataset.
+
+    Multi-host: pass ``process_index``/``process_count`` (or leave None on
+    a ``jax.distributed``-initialized runtime to auto-detect) and each host
+    iterates only its own strided slice of the epoch permutation — the
+    DistributedSampler equivalent (SURVEY.md §2.9); call ``set_epoch`` per
+    epoch so the shared shuffle reseeds identically on every host.
+    """
 
     def __init__(self, dataset: DenseCaptionDataset, batch_size: int,
                  shuffle: bool, opt, drop_last: bool | None = None,
-                 seed: int = 0):
+                 seed: int = 0, process_index: int | None = None,
+                 process_count: int | None = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.opt = opt
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+        self._epoch_pinned = False   # set_epoch never called: auto-advance
+        self.process_index = process_index
+        self.process_count = process_count
         # static pads
         self.T = opt.frame_embedding_num
         self.G = opt.gt_proposal_sample_num
         self.Lc = opt.max_caption_len
         self.drop_last = (shuffle if drop_last is None else drop_last)
 
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+        self._epoch_pinned = True
+
+    def _host_samples(self):
+        if self.process_count in (None, 1) and self.process_index is None:
+            return len(self.ds)
+        from ..parallel.multihost import host_shard_order
+        return len(host_shard_order(
+            len(self.ds), 0, False, self.seed,
+            self.process_index, self.process_count))
+
     def __len__(self):
-        n = len(self.ds)
+        n = self._host_samples()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        epoch = self.epoch
+        if not self._epoch_pinned:
+            self.epoch += 1          # drivers that never set_epoch still get per-pass reshuffles
+        if self.process_count not in (None, 1) or self.process_index is not None:
+            from ..parallel.multihost import host_shard_order
+            order = host_shard_order(
+                len(self.ds), epoch, self.shuffle, self.seed,
+                self.process_index, self.process_count)
+        else:
+            order = np.arange(len(self.ds))
+            if self.shuffle:
+                np.random.default_rng(
+                    self.seed + 1000003 * epoch).shuffle(order)
         nb = len(self)
         for i in range(nb):
             idxs = order[i * self.batch_size:(i + 1) * self.batch_size]

@@ -57,8 +57,13 @@ def train(opt):
     val_dataset = DenseCaptionDataset(
         opt.val_caption_file, opt.visual_feature_folder, opt.dict_file,
         is_training=False, opt=opt, seed=opt.seed)
+    # per-host input sharding (DistributedSampler equivalent): on a
+    # jax.distributed multi-host runtime each host feeds its own slice
+    pidx, pcnt = ((jax.process_index(), jax.process_count())
+                  if jax.process_count() > 1 else (None, None))
     train_loader = BatchLoader(train_dataset, opt.batch_size, shuffle=True,
-                               opt=opt, seed=opt.seed)
+                               opt=opt, seed=opt.seed,
+                               process_index=pidx, process_count=pcnt)
     val_loader = BatchLoader(val_dataset, opt.batch_size_for_eval,
                              shuffle=False, opt=opt)
 
@@ -97,6 +102,7 @@ def train(opt):
     rng = jax.random.PRNGKey(opt.seed)
     iteration = 0
     while epoch < opt.epoch:
+        train_loader.set_epoch(epoch)   # reseeds the (host-shared) shuffle
         ss_prob = ss_prob_for_epoch(opt, epoch)
         lr = multistep_lr(opt, epoch)
         logger.info(f'epoch {epoch} lr {lr:.2e} ss_prob {ss_prob:.3f}')
@@ -150,6 +156,11 @@ def train(opt):
         pending = []
         dt = time.time() - t0
         loss_avg = {k: round(v / max(n, 1), 3) for k, v in loss_sum.items()}
+        if jax.process_count() > 1:
+            # cross-host metric allreduce (the reference's
+            # synchronize_between_processes — SURVEY.md §2.9)
+            from dvc_tpu.parallel.multihost import sync_metrics
+            loss_avg = sync_metrics(loss_avg)
         vps = n * opt.batch_size / max(dt, 1e-9)
         logger.info(f'epoch {epoch}: {loss_avg}, {dt:.1f}s '
                     f'({vps:.2f} videos/s)')
