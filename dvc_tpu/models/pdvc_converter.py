@@ -15,8 +15,9 @@ Layout notes (torch key -> flax path):
 * ``transformer.decoder.layers.{i}.*`` -> ``decoder_layer_{i}/*``; the
   packed ``self_attn.in_proj_weight`` splits into flax MHA q/k/v heads;
   norm3 -> ``ffn/norm``
-* ``caption_head.{i}`` -> shared ``caption_head`` (the reference shares one
-  head across decoder layers when ``share_caption_head`` — pdvc.py:111-118).
+* ``caption_head.{i}`` -> shared ``caption_head`` when all layer heads
+  alias layer 0 (the reference default ``share_caption_head=1`` —
+  pdvc.py:111-118), else per-layer ``caption_head_{i}``.
   Both the 'light' LSTM head (LSTM.py:141-174) and the 'standard' LSTM-DSA
   head (LSTM_DSA.py:189-270) convert; for the latter the per-step caption
   sampler's ``core.deformable_att.sampling_offsets/value_proj``
@@ -178,31 +179,17 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
             lin((f'bbox_head_{i}', f'layer{j}'), f'bbox_head.{i}.layers.{j}')
         i += 1
 
-    # ---- caption head (shared across layers) ---------------------------
-    if 'caption_head.0.embed.weight' in sd:
-        base = 'caption_head.0'
-        # verify sharing: all layer heads must alias layer 0
-        li = 1
-        while f'caption_head.{li}.embed.weight' in sd:
-            if not np.array_equal(sd[f'caption_head.{li}.embed.weight'],
-                                  sd[f'{base}.embed.weight']):
-                raise ValueError(
-                    'convert_pdvc: per-layer (unshared) caption heads are '
-                    'not supported — the flax model shares one head '
-                    '(reference default share_caption_head=1)')
-            for k in list(sd):
-                if k.startswith(f'caption_head.{li}.'):
-                    used.add(k)
-            li += 1
-        put(('caption_head', 'embed'), take(f'{base}.embed.weight'))
-        put(('caption_head', 'logit_w'), _t_lin(take(f'{base}.logit.weight')))
-        put(('caption_head', 'logit_b'), take(f'{base}.logit.bias'))
+    # ---- caption head(s) -----------------------------------------------
+    def convert_caption_head(base, dst_name):
+        put((dst_name, 'embed'), take(f'{base}.embed.weight'))
+        put((dst_name, 'logit_w'), _t_lin(take(f'{base}.logit.weight')))
+        put((dst_name, 'logit_b'), take(f'{base}.logit.bias'))
         for k in list(sd):
             if not k.startswith(base + '.core.'):
                 continue
             tail = k[len(base + '.core.'):]
             if tail.startswith('rnn.'):
-                put(('caption_head', tail[len('rnn.'):].replace(
+                put((dst_name, tail[len('rnn.'):].replace(
                     'weight_ih_', 'rnn_w_ih_').replace(
                     'weight_hh_', 'rnn_w_hh_')), _t_lin(sd[k]))
                 used.add(k)
@@ -212,27 +199,60 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
             # joint query = [LSTM hidden ; event query] (LSTM_DSA.py:233),
             # so the transposed (2d, HLP) kernel's rows split R | d exactly
             # as the flax off_w[:R] / off_w[R:] hoisting expects
-            put(('caption_head', 'dsa_sampling_offsets_w'),
+            put((dst_name, 'dsa_sampling_offsets_w'),
                 _t_lin(take(f'{dsa}.sampling_offsets.weight')))
-            put(('caption_head', 'dsa_sampling_offsets_b'),
+            put((dst_name, 'dsa_sampling_offsets_b'),
                 take(f'{dsa}.sampling_offsets.bias'))
-            put(('caption_head', 'dsa_value_w'),
+            put((dst_name, 'dsa_value_w'),
                 _t_lin(take(f'{dsa}.value_proj.weight')))
-            put(('caption_head', 'dsa_value_b'),
+            put((dst_name, 'dsa_value_b'),
                 take(f'{dsa}.value_proj.bias'))
             # dead in the reference's return_value path — discard
             for dead in ('attention_weights', 'output_proj'):
                 for suf in ('weight', 'bias'):
                     used.add(f'{dsa}.{dead}.{suf}')
-            for tname, flaxname in (('ctx2att', 'ctx2att'),
-                                    ('h2att', 'h2att'),
-                                    ('alpha_net', 'alpha_net')):
+            for tname in ('ctx2att', 'h2att', 'alpha_net'):
                 tkey = f'{base}.core.{tname}'
                 if f'{tkey}.weight' in sd:   # absent when att_hid_size == 0
-                    put(('caption_head', f'{flaxname}_w'),
+                    put((dst_name, f'{tname}_w'),
                         _t_lin(take(f'{tkey}.weight')))
-                    put(('caption_head', f'{flaxname}_b'),
+                    put((dst_name, f'{tname}_b'),
                         take(f'{tkey}.bias'))
+
+    if 'caption_head.0.embed.weight' in sd:
+        n_heads_cap = 0
+        while f'caption_head.{n_heads_cap}.embed.weight' in sd:
+            n_heads_cap += 1
+        if flax_params is not None:
+            # the flax tree knows the layout; value equality cannot — the
+            # reference deep-copies the head when NOT sharing (pdvc.py
+            # _get_clones), so unshared layers start out value-identical
+            shared = 'caption_head' in flax_params
+        else:
+            shared = all(
+                np.array_equal(sd[f'caption_head.{li}.embed.weight'],
+                               sd['caption_head.0.embed.weight'])
+                for li in range(1, n_heads_cap))
+        if shared:
+            # reference default share_caption_head=1: all layers alias one
+            # module; the flax tree keeps a single 'caption_head'
+            for li in range(1, n_heads_cap):
+                if not np.array_equal(sd[f'caption_head.{li}.embed.weight'],
+                                      sd['caption_head.0.embed.weight']):
+                    raise ValueError(
+                        'convert_pdvc: checkpoint has diverged per-layer '
+                        'caption heads but the flax model shares one head '
+                        '— rebuild with share_caption_head=0')
+            convert_caption_head('caption_head.0', 'caption_head')
+            for li in range(1, n_heads_cap):
+                for k in list(sd):
+                    if k.startswith(f'caption_head.{li}.'):
+                        used.add(k)
+        else:
+            # share_caption_head=0: per-layer 'caption_head_{i}' modules
+            for li in range(n_heads_cap):
+                convert_caption_head(f'caption_head.{li}',
+                                     f'caption_head_{li}')
 
     leftovers = [k for k in sd if k not in used
                  and not any(k.startswith(p) for p in _IGNORABLE_PREFIXES)]

@@ -67,6 +67,12 @@ def to_dvc_records(post, video_keys, durations, translator):
                         if seq is not None else '')
             items.append({
                 'timestamp': [float(boxes[b, q, 0]), float(boxes[b, q, 1])],
+                # the reference writes "raw_box" per record
+                # (eval_utils.py:195) but its PostProcess assigns the
+                # clamped/gathered boxes to the 'raw_boxes' field
+                # (pdvc.py:543 zips `b` in, not `rb`), so raw_box ==
+                # timestamp; reproduced for record-format parity
+                'raw_box': [float(boxes[b, q, 0]), float(boxes[b, q, 1])],
                 'proposal_score': float(scores[b, q]),
                 'sentence': sentence,
                 'sentence_score': (float(cap_scores[b, q])

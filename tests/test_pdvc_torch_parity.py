@@ -124,13 +124,22 @@ _STANDARD_OVER = dict(
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('over', [{}, _STANDARD_OVER],
-                         ids=['light', 'standard_dsa'])
+@pytest.mark.parametrize('over', [{}, _STANDARD_OVER,
+                                  dict(share_caption_head=0)],
+                         ids=['light', 'standard_dsa', 'unshared_heads'])
 def test_pdvc_forward_loss_parity(over):
     opt = _opt(**over)
     from pdvc.pdvc import build as ref_build
     torch.manual_seed(11)
     model, criterion, _ = ref_build(opt)
+    if not getattr(opt, 'share_caption_head', 1):
+        # the reference deep-copies the head when unsharing, so clones
+        # start identical — diverge them so the test distinguishes
+        # per-layer from shared conversion
+        g = torch.Generator().manual_seed(99)
+        with torch.no_grad():
+            for p in model.caption_head[1].parameters():
+                p.add_(0.01 * torch.randn(p.shape, generator=g))
     model.train()
 
     batch, dt = _numpy_batch(opt)
