@@ -658,3 +658,68 @@ class Cider:
 
     def compute_score(self, gts, res):
         return cider_compute_score(gts, res)
+
+
+class Spice:
+    """SPICE through the official ``spice-1.0.jar``.
+
+    Protocol parity with the reference wrapper
+    (``densevid_eval3/pycocoevalcap/spice/spice.py:32-103``): input is a
+    JSON list of ``{image_id, test, refs}`` records, the jar is invoked as
+    ``java -jar -Xmx8G spice.jar <in> -cache <dir> -out <out> -subset
+    -silent``, and the result is ``(mean of scores['All']['f'],
+    per-image category score dicts)`` with non-numeric entries mapped to
+    NaN.  SPICE itself is a Java scene-graph matcher over Stanford CoreNLP
+    parses — there is no meaningful native reimplementation, and the jar +
+    CoreNLP models are external artifacts (the reference downloads them at
+    first use, ``spice/get_stanford_models.py``), so this scorer is gated:
+    set ``DVC_SPICE_JAR`` to a local jar.  ``DVC_SPICE_JAVA`` overrides the
+    java binary (used by the protocol test, which substitutes a stub);
+    ``DVC_SPICE_TMP`` pins the work/cache directory.
+    """
+
+    def method(self):
+        return 'SPICE'
+
+    @staticmethod
+    def _float(x):
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            return float('nan')
+
+    def compute_score(self, gts, res):
+        import json
+        import subprocess
+        import tempfile
+
+        jar = os.environ.get('DVC_SPICE_JAR')
+        if not jar or not os.path.exists(jar):
+            raise RuntimeError(
+                'SPICE needs the official spice-1.0.jar (plus java and the '
+                'Stanford CoreNLP models): set DVC_SPICE_JAR to a local '
+                'copy (no network access in this environment)')
+        keys = sorted(gts.keys())
+        payload = [{'image_id': k, 'test': res[k][0], 'refs': list(gts[k])}
+                   for k in keys]
+        workdir = (os.environ.get('DVC_SPICE_TMP')
+                   or tempfile.mkdtemp(prefix='dvc_spice_'))
+        cache = os.path.join(workdir, 'cache')
+        os.makedirs(cache, exist_ok=True)
+        in_path = os.path.join(workdir, 'input.json')
+        out_path = os.path.join(workdir, 'output.json')
+        with open(in_path, 'w') as f:
+            json.dump(payload, f, indent=2)
+        java = os.environ.get('DVC_SPICE_JAVA', 'java')
+        subprocess.check_call(
+            [java, '-jar', '-Xmx8G', jar, in_path,
+             '-cache', cache, '-out', out_path, '-subset', '-silent'])
+        with open(out_path) as f:
+            results = json.load(f)
+        by_id = {item['image_id']: item['scores'] for item in results}
+        per_instance = [self._float(by_id[k]['All']['f']) for k in keys]
+        scores = [{cat: {m: self._float(v) for m, v in tup.items()}
+                   for cat, tup in by_id[k].items()} for k in keys]
+        mean = (float(sum(per_instance) / len(per_instance))
+                if per_instance else 0.0)
+        return mean, scores

@@ -66,8 +66,10 @@ def _make_scorer(name: str):
         return Rouge()
     if name == 'Bleu':
         return _Bleu4(Bleu(4))
-    if name in ('BertScore', 'MoverScore'):
+    if name == 'BertScore':
         return BertScore()
+    if name == 'MoverScore':
+        return MoverScore()
     raise ValueError(f'unknown SODA scorer {name!r}')
 
 
@@ -127,6 +129,143 @@ class BertScore:
         return float(np.mean(scores)), scores
 
 
+def emd_transport(a, b, cost):
+    """Exact earth mover's distance: min Σ cost·x s.t. row sums = a,
+    col sums = b (a, b sum to 1).  Solved as the transportation LP with
+    scipy's linprog; sentence-sized instances (tens of tokens) only."""
+    from scipy.optimize import linprog
+    m, n = cost.shape
+    # equality rows: m row-marginals + n col-marginals (one is redundant,
+    # keep all — HiGHS handles the degeneracy)
+    A = np.zeros((m + n, m * n))
+    for i in range(m):
+        A[i, i * n:(i + 1) * n] = 1.0
+    for j in range(n):
+        A[m + j, j::n] = 1.0
+    res = linprog(cost.reshape(-1), A_eq=A,
+                  b_eq=np.concatenate([a, b]), bounds=(0, None),
+                  method='highs')
+    if not res.success:
+        raise RuntimeError(f'EMD LP failed: {res.message}')
+    return float(res.fun)
+
+
+class MoverScore:
+    """Word Mover's Distance over contextual embeddings (Zhao et al. 2019).
+
+    The reference scores SODA with the ``moverscore`` pip package
+    (``SODA/nlpeval/mover.py``: ``word_mover_score(refs, cands, idf_ref,
+    idf_hyp, stop_words=[], n_gram=1, remove_subwords=True)``).  When that
+    package is importable it is used verbatim; otherwise this class runs a
+    native unigram-WMD implementation gated on a local HF encoder
+    (``DVC_BERTSCORE_MODEL`` — zero-egress environments cannot download
+    one):
+
+    * IDF mass per wordpiece id: ``log((N+1)/(df+1))`` over the corpus
+      registered via ``make_dict`` (df = number of sentences containing the
+      token), unseen tokens get ``log(N+1)`` — the package's
+      ``get_idf_dict`` semantics.
+    * embeddings: the encoder's last hidden layer, L2-normalized;
+      subword continuations (``##…``) and special tokens are dropped
+      (``remove_subwords=True``).
+    * exact EMD between the IDF-normalized token masses under the Euclidean
+      cost, reported as ``1 / (1 + distance)`` per pair, mean over pairs.
+
+    Interface parity with the reference wrapper: ``make_dict(all_gts,
+    all_res, vids)`` then ``compute_score(gts, res)``.
+    """
+
+    def __init__(self, model_dir=None):
+        import os
+        self.idf_dict_ref = None
+        self.idf_dict_hyp = None
+        try:
+            from moverscore import get_idf_dict, word_mover_score
+            self._pkg = (get_idf_dict, word_mover_score)
+        except ImportError:
+            self._pkg = None
+            model_dir = model_dir or os.environ.get('DVC_BERTSCORE_MODEL')
+            if not model_dir:
+                raise RuntimeError(
+                    'MoverScore needs either the moverscore package or a '
+                    'local encoder: set DVC_BERTSCORE_MODEL to a HF model '
+                    'directory (no network access here)')
+            from transformers import AutoModel, AutoTokenizer
+            self.tok = AutoTokenizer.from_pretrained(model_dir)
+            self.model = AutoModel.from_pretrained(model_dir)
+            self.model.eval()
+
+    def method(self):
+        return 'MoverScore'
+
+    # -- idf over the whole corpus (reference mover.py:28-34)
+    def _idf_dict(self, sents):
+        if self._pkg:
+            return self._pkg[0](sents)
+        from collections import Counter, defaultdict
+        from math import log
+        df = Counter()
+        for s in sents:
+            df.update(set(self.tok(s)['input_ids']))
+        n = len(sents)
+        d = defaultdict(lambda: log((n + 1) / 1.0))
+        d.update({t: log((n + 1) / (c + 1)) for t, c in df.items()})
+        return d
+
+    def make_dict(self, all_gts, all_res, vids):
+        gold, pred = [], []
+        for vid in vids:
+            gold.extend(all_gts[vid]['sentences'])
+            pred.extend([p['sentence'] for p in all_res[vid]])
+        self.fit_corpus(gold, pred)
+
+    def fit_corpus(self, gold_sents, pred_sents):
+        """Build the corpus IDF dicts (the reference wrapper requires
+        ``make_dict`` before scoring; mover.py:17 asserts it — SODA itself
+        never calls it, so reference-SODA MoverScore crashes; SODAC wires
+        this properly)."""
+        self.idf_dict_ref = self._idf_dict(gold_sents)
+        self.idf_dict_hyp = self._idf_dict(pred_sents)
+
+    def _tokens(self, sent, idf_dict):
+        """(embeddings, idf masses) for content wordpieces of one sentence."""
+        import torch
+        enc = self.tok(sent, return_tensors='pt')
+        ids = enc['input_ids'][0]
+        with torch.no_grad():
+            emb = self.model(**enc).last_hidden_state[0]
+        emb = emb / emb.norm(dim=-1, keepdim=True).clamp(min=1e-8)
+        toks = self.tok.convert_ids_to_tokens(ids)
+        special = set(self.tok.all_special_tokens)
+        keep = [i for i, t in enumerate(toks)
+                if t not in special and not t.startswith('##')]
+        if not keep:
+            keep = list(range(len(toks)))
+        idf = np.array([idf_dict[int(ids[i])] for i in keep], np.float64)
+        return emb[keep].numpy().astype(np.float64), idf
+
+    def compute_score(self, gts, res):
+        assert gts.keys() == res.keys()
+        assert self.idf_dict_ref is not None and self.idf_dict_hyp is not None
+        cands = [v[0] for v in res.values()]
+        refs = [v[0] for v in gts.values()]
+        if self._pkg:
+            scores = self._pkg[1](refs, cands, self.idf_dict_ref,
+                                  self.idf_dict_hyp, stop_words=[],
+                                  n_gram=1, remove_subwords=True)
+            return float(np.mean(scores)), list(map(float, scores))
+        scores = []
+        for ref, cand in zip(refs, cands):
+            r_emb, r_idf = self._tokens(ref, self.idf_dict_ref)
+            c_emb, c_idf = self._tokens(cand, self.idf_dict_hyp)
+            cost = np.sqrt(np.maximum(
+                ((r_emb[:, None] - c_emb[None, :]) ** 2).sum(-1), 0.0))
+            a = r_idf / max(r_idf.sum(), 1e-12)
+            b = c_idf / max(c_idf.sum(), 1e-12)
+            scores.append(1.0 / (1.0 + emd_transport(a, b, cost)))
+        return float(np.mean(scores)), scores
+
+
 class SODAC:
     """SODA evaluation, types a/b/c/d (reference soda.py:31-47).
 
@@ -150,6 +289,14 @@ class SODAC:
             self.scorer = None
         else:
             self.scorer = _make_scorer(scorer)
+            if hasattr(self.scorer, 'fit_corpus'):
+                # corpus-level IDF for MoverScore (the reference wrapper
+                # requires make_dict before scoring but reference-SODA
+                # never calls it — wired properly here)
+                gold = [s for gt in gts for v in gt.values()
+                        for s in v['sentences']]
+                pred = [s for v in preds.values() for s in v['sentences']]
+                self.scorer.fit_corpus(gold, pred)
         self.scorer_name = scorer
         self.verbose = verbose
 

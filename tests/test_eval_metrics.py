@@ -245,3 +245,123 @@ def test_soda_bertscore_requires_local_model(monkeypatch):
         _make_scorer('BertScore')
     with pytest.raises(ValueError):
         _make_scorer('NoSuchScorer')
+
+
+# ---------------------------------------------------------------- SPICE
+def test_spice_requires_jar(monkeypatch):
+    from dvc_tpu.eval.scorers import Spice
+    monkeypatch.delenv('DVC_SPICE_JAR', raising=False)
+    with pytest.raises(RuntimeError, match='DVC_SPICE_JAR'):
+        Spice().compute_score({0: ['a cat']}, {0: ['a cat']})
+
+
+def test_spice_jar_protocol(tmp_path, monkeypatch):
+    """Exercise the jar-shelling protocol with a java stub: flag order,
+    input payload format (reference spice.py:40-75), output parsing incl.
+    the None -> NaN conversion (spice.py:26-30, 92-99)."""
+    import os
+    import stat
+    import sys
+
+    stub = tmp_path / 'java_stub.py'
+    stub.write_text(f'''#!{sys.executable}
+import json, sys
+assert sys.argv[1:3] == ['-jar', '-Xmx8G'], sys.argv
+jar, in_path = sys.argv[3], sys.argv[4]
+assert sys.argv[5] == '-cache' and sys.argv[7] == '-out', sys.argv
+assert sys.argv[9:11] == ['-subset', '-silent'], sys.argv
+with open(in_path) as f:
+    data = json.load(f)
+out = []
+for rec in data:
+    assert set(rec) == {{'image_id', 'test', 'refs'}}, rec
+    f1 = 1.0 if rec['test'] in rec['refs'] else 0.25
+    out.append({{'image_id': rec['image_id'],
+                'scores': {{'All': {{'f': f1, 'p': f1, 'r': f1}},
+                           'Object': {{'f': None, 'p': 0.0, 'r': 0.0}}}}}})
+with open(sys.argv[8], 'w') as f:
+    json.dump(out, f)
+''')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    jar = tmp_path / 'spice-1.0.jar'
+    jar.write_bytes(b'fake')
+    monkeypatch.setenv('DVC_SPICE_JAR', str(jar))
+    monkeypatch.setenv('DVC_SPICE_JAVA', str(stub))
+    monkeypatch.setenv('DVC_SPICE_TMP', str(tmp_path / 'work'))
+
+    from dvc_tpu.eval.scorers import Spice
+    gts = {'a': ['a cat sits', 'a cat'], 'b': ['a dog runs']}
+    res = {'a': ['a cat sits'], 'b': ['a bird flies']}
+    mean, scores = Spice().compute_score(gts, res)
+    assert mean == pytest.approx((1.0 + 0.25) / 2)
+    assert scores[0]['All']['f'] == 1.0
+    assert np.isnan(scores[0]['Object']['f'])  # None -> NaN
+
+
+# ---------------------------------------------------------------- MoverScore
+def test_emd_transport():
+    from dvc_tpu.eval.soda import emd_transport
+    # identical point masses -> zero cost
+    cost = np.array([[0.0, 1.0], [1.0, 0.0]])
+    a = np.array([0.5, 0.5])
+    assert emd_transport(a, a, cost) == pytest.approx(0.0, abs=1e-9)
+    # uniform equal-size masses: EMD == assignment cost / n
+    rng = np.random.default_rng(0)
+    c = rng.uniform(0.1, 2.0, size=(5, 5))
+    from scipy.optimize import linear_sum_assignment
+    r, col = linear_sum_assignment(c)
+    u = np.full(5, 0.2)
+    assert emd_transport(u, u, c) == pytest.approx(
+        c[r, col].sum() / 5, rel=1e-6)
+    # hand case: move 0.25 mass across distance 2
+    cost = np.array([[0.0, 2.0]])
+    assert emd_transport(np.array([1.0]), np.array([0.75, 0.25]),
+                         cost) == pytest.approx(0.5, rel=1e-6)
+
+
+@pytest.fixture(scope='module')
+def tiny_bert_dir(tmp_path_factory):
+    """A tiny randomly initialized BERT + wordpiece vocab saved locally, so
+    the gated MoverScore/BertScore path runs without network access."""
+    torch = pytest.importorskip('torch')
+    from transformers import BertConfig, BertModel, BertTokenizer
+    d = tmp_path_factory.mktemp('tiny_bert')
+    vocab = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', '[MASK]',
+             'a', 'cat', 'dog', 'sits', 'runs', 'on', 'the', 'mat',
+             'splash', '##ing', 'bird']
+    (d / 'vocab.txt').write_text('\n'.join(vocab) + '\n')
+    tok = BertTokenizer(str(d / 'vocab.txt'))
+    tok.save_pretrained(str(d))
+    torch.manual_seed(0)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    BertModel(cfg).save_pretrained(str(d))
+    return str(d)
+
+
+def test_moverscore_local_wmd(tiny_bert_dir, monkeypatch):
+    from dvc_tpu.eval.soda import MoverScore
+    monkeypatch.setenv('DVC_BERTSCORE_MODEL', tiny_bert_dir)
+    ms = MoverScore()
+    all_gts = {'v1': {'sentences': ['a cat sits on the mat',
+                                    'a dog runs']}}
+    all_res = {'v1': [{'sentence': 'a cat sits on the mat'},
+                      {'sentence': 'a bird splashing'}]}
+    ms.make_dict(all_gts, all_res, ['v1'])
+    gts = {0: ['a cat sits on the mat'], 1: ['a dog runs']}
+    same = {0: ['a cat sits on the mat'], 1: ['a dog runs']}
+    diff = {0: ['a bird splashing'], 1: ['a bird splashing']}
+    mean_same, per_same = ms.compute_score(gts, same)
+    mean_diff, _ = ms.compute_score(gts, diff)
+    # identical sentences: WMD 0 -> score exactly 1
+    assert per_same[0] == pytest.approx(1.0, abs=1e-6)
+    assert mean_same > mean_diff
+    assert 0.0 < mean_diff < 1.0
+
+
+def test_moverscore_requires_model_or_pkg(monkeypatch):
+    from dvc_tpu.eval.soda import _make_scorer
+    monkeypatch.delenv('DVC_BERTSCORE_MODEL', raising=False)
+    with pytest.raises(RuntimeError, match='DVC_BERTSCORE_MODEL'):
+        _make_scorer('MoverScore')
