@@ -314,6 +314,7 @@ class DSACaptionHead(_CaptionHeadBase):
     """'standard' head, LSTM-DSA (reference ``LSTM_DSA.py:189-270``)."""
     msda_impl: str = 'auto'
     att_impl: str = 'auto'
+    att_precision: str = 'float32'
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -399,7 +400,8 @@ class DSACaptionHead(_CaptionHeadBase):
                     value, offsets, ref_center, offset_scale, hvec,
                     att['ctx2att_w'], att['ctx2att_b'],
                     att['alpha_w'][:, 0], att['alpha_b'][0],
-                    tuple(temporal_shapes), impl=self.att_impl)
+                    tuple(temporal_shapes), impl=self.att_impl,
+                    precision=self.att_precision)
             else:
                 loc = (ref_center[:, :, None, :, None]
                        + offsets * offset_scale[:, :, None, :, None])

@@ -191,7 +191,10 @@ class PDVC(nn.Module):
                 'msda_impl': c.msda_impl,
                 # XLA-portable impls map to the jnp attention path
                 'att_impl': {'dense': 'ref', 'ref': 'ref'}.get(
-                    c.msda_impl, c.msda_impl)}
+                    c.msda_impl, c.msda_impl),
+                # bf16 MXU matmuls inside the fused DSA kernel follow the
+                # model-wide compute dtype (accumulation stays f32)
+                'att_precision': c.compute_dtype}
             if c.share_caption_head:
                 h = head_cls(c.caption, name='caption_head', **kwargs)
                 self.caption_heads = [h] * D

@@ -31,8 +31,14 @@ Layout notes (torch key -> flax path):
   computed/created but never consumed) — they are accepted and discarded
 * ``transformer.decoder.bbox_head.*`` are aliases of ``bbox_head.*`` under
   box refinement (pdvc.py:150-156) and are skipped
-* ``transformer.pos_trans*`` / ``enc_output*`` only matter in two-stage
-  ('gt_proposals') mode, which keeps no flax analogue parameters: skipped
+* ``transformer.reference_points`` vs ``transformer.pos_trans*``: the
+  reference creates both branches unconditionally
+  (deformable_transformer.py:47-49) but only one runs per
+  ``transformer_input_type``; the converter maps the branch present in the
+  flax tree ('queries' -> reference_points, 'gt_proposals' ->
+  pos_trans/pos_trans_norm) and discards the dormant one.
+  ``transformer.enc_output*`` (detr-style two-stage, unused by PDVC's
+  gt_proposals path): skipped
 """
 
 from __future__ import annotations
@@ -122,7 +128,19 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
 
     # ---- transformer ---------------------------------------------------
     put(('level_embed',), take('transformer.level_embed'))
-    lin(('reference_points',), 'transformer.reference_points')
+    # the reference creates reference_points AND pos_trans(+norm)
+    # unconditionally (deformable_transformer.py:47-49); the flax tree only
+    # materializes the branch its transformer_input_type invokes
+    # ('queries' -> reference_points, 'gt_proposals' -> pos_trans*) —
+    # convert whatever the tree has and discard the dormant branch
+    if flax_params is None or 'reference_points' in flax_params:
+        lin(('reference_points',), 'transformer.reference_points')
+    else:
+        used.update(('transformer.reference_points.weight',
+                     'transformer.reference_points.bias'))
+    if flax_params is not None and 'pos_trans' in flax_params:
+        lin(('pos_trans',), 'transformer.pos_trans')
+        norm(('pos_trans_norm',), 'transformer.pos_trans_norm')
 
     def msda(dst, src):
         for m in ('sampling_offsets', 'attention_weights', 'value_proj',
@@ -171,13 +189,44 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
 
     # ---- queries + prediction heads -------------------------------------
     put(('query_embed',), take('query_embed.weight'))
-    i = 0
-    while f'class_head.{i}.weight' in sd:
-        lin((f'class_head_{i}',), f'class_head.{i}')
-        lin((f'count_head_{i}',), f'count_head.{i}')
+    n_pred = 0
+    while f'class_head.{n_pred}.weight' in sd:
+        n_pred += 1
+    # with_box_refine=False shares one prediction head across decoder
+    # layers (reference pdvc.py:87-93: the ModuleList holds num_pred
+    # references to the SAME module, so the state dict carries identical
+    # per-layer copies); the flax tree then has a single unsuffixed head
+    if flax_params is not None:
+        heads_shared = 'class_head' in flax_params
+    else:
+        heads_shared = n_pred > 1 and all(
+            np.array_equal(sd[f'class_head.{li}.weight'],
+                           sd['class_head.0.weight'])
+            for li in range(1, n_pred))
+    if heads_shared:
+        for li in range(1, n_pred):
+            if not np.array_equal(sd[f'class_head.{li}.weight'],
+                                  sd['class_head.0.weight']):
+                raise ValueError(
+                    'convert_pdvc: checkpoint has diverged per-layer '
+                    'prediction heads but the flax model shares one head '
+                    '— rebuild with with_box_refine=True')
+        lin(('class_head',), 'class_head.0')
+        lin(('count_head',), 'count_head.0')
         for j in range(3):
-            lin((f'bbox_head_{i}', f'layer{j}'), f'bbox_head.{i}.layers.{j}')
-        i += 1
+            lin(('bbox_head', f'layer{j}'), f'bbox_head.0.layers.{j}')
+        for li in range(1, n_pred):
+            for head in ('class_head', 'count_head', 'bbox_head'):
+                for k in list(sd):
+                    if k.startswith(f'{head}.{li}.'):
+                        used.add(k)
+    else:
+        for i in range(n_pred):
+            lin((f'class_head_{i}',), f'class_head.{i}')
+            lin((f'count_head_{i}',), f'count_head.{i}')
+            for j in range(3):
+                lin((f'bbox_head_{i}', f'layer{j}'),
+                    f'bbox_head.{i}.layers.{j}')
 
     # ---- caption head(s) -----------------------------------------------
     def convert_caption_head(base, dst_name):

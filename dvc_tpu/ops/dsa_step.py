@@ -73,9 +73,25 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # in-kernel helpers
 # ----------------------------------------------------------------------------
 
+def _make_dot(precision):
+    """MXU matmul in the requested multiply precision (f32 accumulate).
+    'bfloat16' casts both operands — ~3-4x faster on the MXU (one pass vs
+    the f32 multi-pass decomposition) at bf16 mantissa cost."""
+    if precision == 'bfloat16':
+        def dot(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return dot
+
+
 def _interp_mats(loc_hl, T):
     """loc_hl: (QP,) normalized locations for one (head, level).
-    Returns (M, idx_lo, idx_hi): M (QP, T) interp one-hot-pair matrix."""
+    Returns (M, M_lo, M_hi): M (QP, T) interp one-hot-pair matrix plus the
+    raw lo/hi one-hots (the backward's location gradient is a matmul with
+    their difference)."""
     pos = loc_hl * T - 0.5
     i_lo = jnp.floor(pos)
     w_hi = pos - i_lo
@@ -84,12 +100,13 @@ def _interp_mats(loc_hl, T):
     idx_hi = jnp.clip(i_lo + 1.0, 0, T - 1).astype(jnp.int32)
     QP = loc_hl.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (QP, T), 1)
-    M = (w_lo[:, None] * (idx_lo[:, None] == iota)
-         + w_hi[:, None] * (idx_hi[:, None] == iota)).astype(jnp.float32)
-    return M, idx_lo, idx_hi
+    M_lo = (idx_lo[:, None] == iota).astype(jnp.float32)
+    M_hi = (idx_hi[:, None] == iota).astype(jnp.float32)
+    M = w_lo[:, None] * M_lo + w_hi[:, None] * M_hi
+    return M, M_lo, M_hi
 
 
-def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh):
+def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh, dot):
     """value: (S, H, Dh); loc: (H, L, QP).  Returns taps (Q, H, L, P, Dh)
     and the per-(l,h) interp matrices for the backward."""
     starts = _level_starts(temporal_shapes)
@@ -101,8 +118,7 @@ def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh):
         for h in range(H):
             M, _, _ = _interp_mats(loc[h, l], T)
             Ms[(l, h)] = M
-            t_h = jnp.dot(M, v_l[:, h],
-                          preferred_element_type=jnp.float32)  # (QP, Dh)
+            t_h = dot(M, v_l[:, h])                      # (QP, Dh)
             heads.append(t_h.reshape(Q, P, Dh)[:, None])  # (Q, 1, P, Dh)
         taps_levels.append(jnp.concatenate(heads, axis=1))  # (Q, H, P, Dh)
     taps = jnp.stack(taps_levels, axis=2)                # (Q, H, L, P, Dh)
@@ -110,9 +126,9 @@ def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh):
 
 
 def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
-                   A):
+                   A, dot):
     tflat = taps.reshape(Q * H * L * P, Dh)
-    u = (jnp.dot(tflat, cw_ref[:], preferred_element_type=jnp.float32)
+    u = (dot(tflat, cw_ref[:])
          .reshape(Q, H, L * P, A)
          + cb_ref[0][None, None, None, :]
          + hvec[:, None, None, :])
@@ -128,23 +144,27 @@ def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
 # Pallas kernels (grid over B)
 # ----------------------------------------------------------------------------
 
-def _make_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
+def _make_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
+    dot = _make_dot(precision)
+
     def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
                out_ref):
         value = value_ref[0]                             # (S, H, Dh)
         loc = loc_ref[0]                                 # (H, L, QP)
         hvec = hvec_ref[0]                               # (Q, A)
-        taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh)
+        taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh,
+                                dot)
         _, _, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
-                                 ab_ref[0, 0], Q, H, L, P, Dh, A)
+                                 ab_ref[0, 0], Q, H, L, P, Dh, A, dot)
         ctx = jnp.sum(w.reshape(Q, H, L * P, 1)
                       * taps.reshape(Q, H, L * P, Dh), axis=2)
         out_ref[0] = ctx
     return kernel
 
 
-def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
+def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
     starts = _level_starts(temporal_shapes)
+    dot = _make_dot(precision)
 
     def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
                g_ref,
@@ -157,9 +177,9 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
         g = g_ref[0]                                     # (Q, H, Dh)
 
         taps, Ms = _compute_taps(value, loc, temporal_shapes, Q, H, L, P,
-                                 Dh)
+                                 Dh, dot)
         _, a, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
-                                 ab_ref[0, 0], Q, H, L, P, Dh, A)
+                                 ab_ref[0, 0], Q, H, L, P, Dh, A, dot)
         tflat = taps.reshape(Q, H, L * P, Dh)
 
         # ---- attention backward (ctx = sum_p w_p t_p)
@@ -168,9 +188,9 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
         ddot = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
         da = ddot[..., None] * aw_ref[0][None, None, None, :]
         du = da * (1.0 - a * a)                          # (Q, H, LP, A)
-        dtaps = dtaps + jnp.dot(
-            du.reshape(Q * H * L * P, A), cw_ref[:].T,
-            preferred_element_type=jnp.float32).reshape(Q, H, L * P, Dh)
+        dtaps = dtaps + dot(
+            du.reshape(Q * H * L * P, A), cw_ref[:].T).reshape(
+                Q, H, L * P, Dh)
         dhvec_ref[0] = jnp.sum(du, axis=(1, 2))          # (Q, A)
 
         @pl.when(b == 0)
@@ -179,10 +199,9 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
             dcb_ref[:] = jnp.zeros_like(dcb_ref)
             daw_ref[:] = jnp.zeros_like(daw_ref)
             dab_ref[:] = jnp.zeros_like(dab_ref)
-        dcw_ref[:] += jnp.dot(
+        dcw_ref[:] += dot(
             tflat.reshape(Q * H * L * P, Dh).T,
-            du.reshape(Q * H * L * P, A),
-            preferred_element_type=jnp.float32)
+            du.reshape(Q * H * L * P, A))
         dcb_ref[:] += jnp.sum(du, axis=(0, 1, 2))[None, :]
         daw_ref[:] += jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
         dab_ref[:] += jnp.sum(ddot)[None, None]
@@ -195,21 +214,16 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
             v_l = value[s0:s0 + T]
             dv_heads = []
             for h in range(H):
-                M = Ms[(l, h)]
-                _, idx_lo, idx_hi = _interp_mats(loc[h, l], T)
+                M, M_lo, M_hi = _interp_mats(loc[h, l], T)
                 dt_h = dtaps5[:, h, l].reshape(Q * P, Dh)
-                dv_heads.append(jnp.dot(
-                    M.T, dt_h,
-                    preferred_element_type=jnp.float32)[:, None])
-                dM = jnp.dot(dt_h, v_l[:, h].T,
-                             preferred_element_type=jnp.float32)  # (QP, T)
-                QP = Q * P
-                iota = jax.lax.broadcasted_iota(jnp.int32, (QP, T), 1)
-                dw_lo = jnp.sum(jnp.where(idx_lo[:, None] == iota, dM, 0.0),
-                                axis=-1)
-                dw_hi = jnp.sum(jnp.where(idx_hi[:, None] == iota, dM, 0.0),
-                                axis=-1)
-                dloc_rows.append(((dw_hi - dw_lo) * T)[None, None, :])
+                dv_heads.append(dot(M.T, dt_h)[:, None])
+                # d tap / d pos = v[idx_hi] - v[idx_lo]; pos = loc*T - 0.5.
+                # One (QP,T)@(T,Dh) matmul + a (QP,Dh) reduce — replaces
+                # the (QP,T) dM matmul plus two (QP,T) masked reductions
+                # (the backward's former VPU bottleneck)
+                diff = dot(M_hi - M_lo, v_l[:, h])       # (QP, Dh)
+                dloc_rows.append(
+                    (jnp.sum(dt_h * diff, axis=-1) * T)[None, None, :])
             dvalue_levels.append(jnp.concatenate(dv_heads, axis=1))
         # levels tile S contiguously (starts are the cumsum)
         dvalue_ref[0] = jnp.concatenate(dvalue_levels, axis=0)
@@ -221,7 +235,8 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A):
 
 
 def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
-                 temporal_shapes, Q, interpret, backward=False, g=None):
+                 temporal_shapes, Q, interpret, precision='float32',
+                 backward=False, g=None):
     B, S, H, Dh = value.shape
     L = len(temporal_shapes)
     QP = loc_t.shape[-1]
@@ -246,7 +261,8 @@ def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
     ]
     if not backward:
         out = pl.pallas_call(
-            _make_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A),
+            _make_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
+                             precision),
             grid=(B,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
@@ -258,7 +274,8 @@ def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
         return out.astype(value.dtype)
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A),
+        _make_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
+                         precision),
         grid=(B,),
         in_specs=in_specs + [
             pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
@@ -298,23 +315,23 @@ def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
             dab[0, 0].astype(jnp.asarray(alpha_b).dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
-              temporal_shapes, Q, interpret):
+              temporal_shapes, Q, interpret, precision):
     return _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
-                        temporal_shapes, Q, interpret)
+                        temporal_shapes, Q, interpret, precision)
 
 
 def _dsa_core_fwd(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
-                  temporal_shapes, Q, interpret):
+                  temporal_shapes, Q, interpret, precision):
     out = _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
-                       temporal_shapes, Q, interpret)
+                       temporal_shapes, Q, interpret, precision)
     return out, (value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b)
 
 
-def _dsa_core_bwd(temporal_shapes, Q, interpret, res, g):
-    return _pallas_core(*res, temporal_shapes, Q, interpret, backward=True,
-                        g=g)
+def _dsa_core_bwd(temporal_shapes, Q, interpret, precision, res, g):
+    return _pallas_core(*res, temporal_shapes, Q, interpret, precision,
+                        backward=True, g=g)
 
 
 _dsa_core.defvjp(_dsa_core_fwd, _dsa_core_bwd)
@@ -326,11 +343,15 @@ _dsa_core.defvjp(_dsa_core_fwd, _dsa_core_bwd)
 
 def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
                       ctx_w, ctx_b, alpha_w, alpha_b, temporal_shapes,
-                      impl='auto'):
+                      impl='auto', precision='float32'):
     """Fused tap sampling + additive attention (see module docstring).
 
     impl: 'auto' (pallas on TPU, ref elsewhere), 'ref', 'pallas',
     'pallas_interpret'.
+    precision: 'float32' (default) or 'bfloat16' — multiply precision of
+    the in-kernel MXU matmuls (accumulation always f32).  bf16 runs the
+    forward ~3-4x faster (one MXU pass vs the f32 multi-pass
+    decomposition); follow the model's ``tpu_compute_dtype``.
     """
     if impl == 'auto':
         impl = 'pallas' if jax.default_backend() == 'tpu' else 'ref'
@@ -345,5 +366,5 @@ def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
         loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
         return _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w,
                          alpha_b, tuple(temporal_shapes), Q,
-                         impl == 'pallas_interpret')
+                         impl == 'pallas_interpret', precision)
     raise ValueError(f'unknown dsa step impl {impl!r}')

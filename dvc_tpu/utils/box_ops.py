@@ -36,7 +36,10 @@ def box_iou(boxes1, boxes2):
     rb = jnp.minimum(boxes1[..., :, None, 1], boxes2[..., None, :, 1])
     inter = jnp.clip(rb - lt, 0, None)
     union = area1[..., :, None] + area2[..., None, :] - inter
-    iou = inter / (union + 1e-9)
+    # eps must match the reference's 1e-5 (box_ops.py:26): with gt
+    # proposals the boxes coincide exactly and the eps shows up in the
+    # reported loss_giou
+    iou = inter / (union + 1e-5)
     return iou, union
 
 
@@ -46,7 +49,7 @@ def generalized_box_iou(boxes1, boxes2):
     lt = jnp.minimum(boxes1[..., :, None, 0], boxes2[..., None, :, 0])
     rb = jnp.maximum(boxes1[..., :, None, 1], boxes2[..., None, :, 1])
     hull = jnp.clip(rb - lt, 0, None)
-    return iou - (hull - union) / (hull + 1e-9)
+    return iou - (hull - union) / (hull + 1e-5)
 
 
 def inverse_sigmoid(x, eps: float = 1e-5):

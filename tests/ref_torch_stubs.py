@@ -4,19 +4,31 @@ and torchvision are absent; only trivially-stubable surface is needed
 (the CPU forward path uses ``ms_deform_attn_core_pytorch``, see reference
 ``pdvc/ops/modules/ms_deform_attn.py:119-124``)."""
 
+import importlib.machinery
 import logging
 import sys
 import types
 
 
+def _stub_module(name):
+    """types.ModuleType with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on spec-less sys.modules entries, which breaks e.g.
+    transformers' torchvision-availability probe in any test that runs
+    after this module is collected."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def install():
-    sys.modules.setdefault('MultiScaleDeformableAttention',
-                           types.ModuleType('MultiScaleDeformableAttention'))
+    sys.modules.setdefault(
+        'MultiScaleDeformableAttention',
+        _stub_module('MultiScaleDeformableAttention'))
 
     if 'torchvision' not in sys.modules:
-        tv = types.ModuleType('torchvision')
-        tv_ops = types.ModuleType('torchvision.ops')
-        tv_boxes = types.ModuleType('torchvision.ops.boxes')
+        tv = _stub_module('torchvision')
+        tv_ops = _stub_module('torchvision.ops')
+        tv_boxes = _stub_module('torchvision.ops.boxes')
 
         def box_area(boxes):
             return ((boxes[:, 2] - boxes[:, 0])
@@ -31,7 +43,7 @@ def install():
         sys.modules['torchvision.ops.boxes'] = tv_boxes
 
     if 'colorlog' not in sys.modules:
-        colorlog = types.ModuleType('colorlog')
+        colorlog = _stub_module('colorlog')
         colorlog.getLogger = logging.getLogger
 
         class _ColoredFormatter(logging.Formatter):

@@ -71,6 +71,36 @@ def test_gradient_parity():
                                    rtol=3e-4, atol=3e-5, err_msg=name)
 
 
+def test_bf16_precision_close_and_grads_finite():
+    """precision='bfloat16' (MXU bf16 multiplies, f32 accumulate) must
+    track the f32 path within bf16 mantissa tolerance, fwd and bwd."""
+    args, shapes = make_inputs(seed=7)
+    want = dsa_sample_attend_ref(*args, shapes)
+    got = dsa_sample_attend(*args, shapes, impl='pallas_interpret',
+                            precision='bfloat16')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(*a):
+        out = dsa_sample_attend(*a, shapes, impl='pallas_interpret',
+                                precision='bfloat16')
+        return jnp.sum(out ** 2)
+
+    argnums = tuple(range(9))
+    g_bf = jax.grad(loss, argnums=argnums)(*args)
+    g_ref = jax.grad(lambda *a: jnp.sum(dsa_sample_attend_ref(
+        *a, shapes) ** 2), argnums=argnums)(*args)
+    for name, a, b in zip(['value', 'offsets', 'ref_center', 'offset_scale',
+                           'hvec', 'ctx_w', 'ctx_b', 'alpha_w', 'alpha_b'],
+                          g_ref, g_bf):
+        b = np.asarray(b)
+        assert np.all(np.isfinite(b)), name
+        np.testing.assert_allclose(
+            b, np.asarray(a), rtol=6e-2,
+            atol=6e-2 * max(1e-3, float(np.abs(np.asarray(a)).max())),
+            err_msg=name)
+
+
 def test_out_of_range_taps_border():
     """Locations pushed far out of range must follow border semantics and
     give zero location-gradient there."""

@@ -125,8 +125,11 @@ _STANDARD_OVER = dict(
 
 @pytest.mark.slow
 @pytest.mark.parametrize('over', [{}, _STANDARD_OVER,
-                                  dict(share_caption_head=0)],
-                         ids=['light', 'standard_dsa', 'unshared_heads'])
+                                  dict(share_caption_head=0),
+                                  dict(with_box_refine=False),
+                                  dict(transformer_input_type='gt_proposals')],
+                         ids=['light', 'standard_dsa', 'unshared_heads',
+                              'no_refine', 'two_stage_gt'])
 def test_pdvc_forward_loss_parity(over):
     opt = _opt(**over)
     from pdvc.pdvc import build as ref_build
