@@ -49,29 +49,46 @@ def main():
     # host->device copy (dvc_tpu/data/prefetch.py), so sustained throughput
     # is the compiled step rate, measured here on a pre-staged batch
     batch = shard_batch(batch, trainer.mesh)
-    step = jax.jit(trainer._train_step_impl, donate_argnums=(0, 1))
+    step = trainer._train_step_impl
 
-    n_steps = int(os.environ.get('BENCH_STEPS', '30'))
-    # pre-stage step constants and rngs: tiny per-step host dispatches
-    # (random.split, scalar uploads) each pay a full link round trip
+    # Two-point in-graph protocol (BENCHMARKS.md "Timing protocol"): N
+    # dependent optimizer steps inside ONE jitted fori_loop (each step's
+    # input is perturbed by the previous loss, so XLA can neither hoist
+    # nor parallelize the body), fetch the result VALUE, and difference
+    # two trip counts to cancel the per-dispatch RPC latency of the
+    # tunneled link (~30-45 ms, which a dispatch-loop timing would
+    # otherwise book against the step).
+    n1 = int(os.environ.get('BENCH_STEPS_N1', '8'))
+    n2 = int(os.environ.get('BENCH_STEPS_N2', '38'))
     lr = jnp.float32(5e-5)
     ssp = jnp.float32(0.0)
-    rngs = list(jax.random.split(rng, n_steps + 1))
-    jax.block_until_ready(rngs)
 
-    # warmup / compile
-    params, opt_state, losses = step(state['params'], state['opt_state'],
-                                     batch, lr, ssp, rngs[-1])
-    jax.block_until_ready(losses['total_loss'])
+    @jax.jit
+    def prog(n, params, opt_state):
+        def body(i, carry):
+            params, opt_state, acc = carry
+            b = dict(batch)
+            b['video_tensor'] = (batch['video_tensor']
+                                 + jnp.sin(acc) * 1e-12)
+            params, opt_state, losses = step(
+                params, opt_state, b, lr, ssp, jax.random.fold_in(rng, i))
+            return params, opt_state, losses['total_loss']
+        carry = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0.0)))
+        return carry[2]
 
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, losses = step(params, opt_state, batch,
-                                         lr, ssp, rngs[i])
-    jax.block_until_ready(losses['total_loss'])
-    dt = time.perf_counter() - t0
+    def timed(n):
+        t0 = time.perf_counter()
+        v = jax.device_get(prog(jnp.int32(n), state['params'],
+                                state['opt_state']))
+        assert v == v, 'non-finite loss'
+        return time.perf_counter() - t0
 
-    vps = n_steps * B / dt
+    timed(n1)           # compile + warm
+    timed(n2)           # warm the second trip count
+    dt = timed(n2) - timed(n1)
+
+    vps = (n2 - n1) * B / dt
     print(json.dumps({
         'metric': 'train_throughput_videos_per_sec_per_chip',
         'value': round(vps, 3),

@@ -135,13 +135,16 @@ def main():
     ap.add_argument('--n2', type=int, default=24)
     ap.add_argument('--frames', type=int, default=200)
     ap.add_argument('--max-caption-len', type=int, default=20)
+    ap.add_argument('--dtype', default='float32',
+                    choices=['float32', 'bfloat16'],
+                    help='tpu_compute_dtype for the trunk + fused kernels')
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_opt, _synthetic_batch
     from dvc_tpu.train import Trainer
     opt = _flagship_opt(frame_embedding_num=args.frames,
                         max_caption_len=args.max_caption_len,
-                        tpu_mesh_data=1)
+                        tpu_mesh_data=1, tpu_compute_dtype=args.dtype)
     trainer = Trainer(opt)
     batch = _synthetic_batch(opt, B=args.batch)
 
