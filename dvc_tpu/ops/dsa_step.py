@@ -33,6 +33,7 @@ reference's grid_sample border semantics (``ms_deform_attn_func.py:58-59``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,35 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # ----------------------------------------------------------------------------
 # in-kernel helpers
 # ----------------------------------------------------------------------------
+
+# Mosaic lowers jnp.tanh through an exp-based form (~30 VPU ops/element);
+# the (Q·H·LP, A) tanh activation is the kernel's VPU roofline (fwd drops
+# 0.22 ms -> 0.03 ms without it).  This 13/6-degree rational approximation
+# (Eigen/XLA's float tanh: ~12 FMA + 1 divide) matches tanh to 3.6e-7 max
+# abs error over the full range — below f32 ulp noise for this op, so the
+# parity tests hold unchanged.  DVC_DSA_TANH=native restores jnp.tanh.
+_TANH_IMPL = os.environ.get('DVC_DSA_TANH', 'rational')
+
+
+def _kernel_tanh(x):
+    if _TANH_IMPL == 'native':
+        return jnp.tanh(x)
+    xc = jnp.clip(x, -7.90531110763549805, 7.90531110763549805)
+    x2 = xc * xc
+    num = jnp.float32(-2.76076847742355e-16)
+    num = num * x2 + 2.00018790482477e-13
+    num = num * x2 + -8.60467152213735e-11
+    num = num * x2 + 5.12229709037114e-08
+    num = num * x2 + 1.48572235717979e-05
+    num = num * x2 + 6.37261928875436e-04
+    num = num * x2 + 4.89352455891786e-03
+    num = num * xc
+    den = jnp.float32(1.19825839466702e-06)
+    den = den * x2 + 1.18534705686654e-04
+    den = den * x2 + 2.26843463243900e-03
+    den = den * x2 + 4.89352518554385e-03
+    return num / den
+
 
 def _make_dot(precision):
     """MXU matmul in the requested multiply precision (f32 accumulate).
@@ -132,7 +162,7 @@ def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
          .reshape(Q, H, L * P, A)
          + cb_ref[0][None, None, None, :]
          + hvec[:, None, None, :])
-    a = jnp.tanh(u)
+    a = _kernel_tanh(u)
     dot = jnp.sum(a * aw_ref[0][None, None, None, :], axis=-1) + ab
     dot = dot - jnp.max(dot, axis=-1, keepdims=True)
     e = jnp.exp(dot)
@@ -360,11 +390,17 @@ def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
                                      offset_scale, hvec, ctx_w, ctx_b,
                                      alpha_w, alpha_b, temporal_shapes)
     if impl in ('pallas', 'pallas_interpret'):
+        from ..parallel.op_partition import partition_batched
         B, Q, H, L, P = offsets.shape
         loc = (ref_center[:, :, None, :, None]
                + offsets * offset_scale[:, :, None, :, None])
         loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
-        return _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w,
-                         alpha_b, tuple(temporal_shapes), Q,
-                         impl == 'pallas_interpret', precision)
+
+        def core(v, lt, hv, cw, cb, aw, ab):
+            return _dsa_core(v, lt, hv, cw, cb, aw, ab,
+                             tuple(temporal_shapes), Q,
+                             impl == 'pallas_interpret', precision)
+        return partition_batched(
+            core, (value, loc_t, hvec),
+            (ctx_w, ctx_b, alpha_w, jnp.asarray(alpha_b)))
     raise ValueError(f'unknown dsa step impl {impl!r}')

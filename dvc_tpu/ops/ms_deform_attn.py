@@ -356,14 +356,15 @@ def ms_deform_attn(value, temporal_shapes, sampling_locations,
     if impl == "dense":
         return ms_deform_attn_dense(value, temporal_shapes, sampling_locations,
                                     attention_weights, mode)
-    if impl == "pallas":
-        return ms_deform_attn_pallas(value, tuple(temporal_shapes),
-                                     sampling_locations, attention_weights,
-                                     mode, False)
-    if impl == "pallas_interpret":
-        return ms_deform_attn_pallas(value, tuple(temporal_shapes),
-                                     sampling_locations, attention_weights,
-                                     mode, True)
+    if impl in ("pallas", "pallas_interpret"):
+        from ..parallel.op_partition import partition_batched
+        interpret = impl == "pallas_interpret"
+
+        def core(v, s, a):
+            return ms_deform_attn_pallas(v, tuple(temporal_shapes), s, a,
+                                         mode, interpret)
+        return partition_batched(
+            core, (value, sampling_locations, attention_weights))
     raise ValueError(f"unknown impl: {impl}")
 
 

@@ -1,0 +1,81 @@
+"""Mesh partitioning for the Pallas ops.
+
+XLA's GSPMD partitioner cannot shard a ``pallas_call`` (an opaque custom
+call): under ``jit`` with batch-sharded operands it all-gathers the full
+batch onto every device and runs the kernel fully replicated.  The
+kernels' grids are embarrassingly batch-parallel (grid=(B,) /(B,H)), so
+the TPU-native answer is ``shard_map`` over the mesh's data axis: each
+device runs the kernel on its own batch shard, and gradients flowing to
+replicated operands (the attention parameters) get the cross-device psum
+automatically from shard_map's transpose rule.
+
+The trainer advertises its mesh via ``set_op_mesh``; the op dispatchers
+(``ops/ms_deform_attn.py``, ``ops/dsa_step.py``) consult it at trace time
+and wrap their pallas path when the data axis is actually sharded.  With
+no mesh set (single chip, or CPU tests) the ops are called directly.
+
+This replaces what the reference gets from torch DDP replication of its
+CUDA extension (every rank holds a full module copy —
+``train.py:60-76``): here one jitted program spans the mesh and only the
+opaque kernels need the explicit map.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+_OP_MESH = None  # (Mesh, axis_name) | None
+
+
+def set_op_mesh(mesh, axis: str = 'data'):
+    """Advertise the mesh the batch-parallel ops should shard_map over.
+    Pass mesh=None to clear.  A mesh whose ``axis`` has size 1 is treated
+    as unset (the wrap would be a no-op)."""
+    global _OP_MESH
+    if mesh is None or dict(mesh.shape).get(axis, 1) <= 1:
+        _OP_MESH = None
+    else:
+        _OP_MESH = (mesh, axis)
+
+
+def get_op_mesh():
+    return _OP_MESH
+
+
+@contextmanager
+def op_mesh(mesh, axis: str = 'data'):
+    """Scoped ``set_op_mesh`` (tests; multi-trainer processes)."""
+    prev = _OP_MESH
+    try:
+        set_op_mesh(mesh, axis)
+        yield
+    finally:
+        globals()['_OP_MESH'] = prev
+
+
+def partition_batched(fn, batched, replicated=()):
+    """Call ``fn(*batched, *replicated)``, shard_mapped over the op mesh.
+
+    ``batched`` args are split on axis 0 across the data axis; ``replicated``
+    args (parameters) are unmapped — their cotangents are psummed across the
+    mesh by shard_map's transpose.  Falls back to a direct call when no op
+    mesh is set or the batch does not divide the axis (GSPMD then runs the
+    op replicated — correct, just not parallel).
+    """
+    ctx = get_op_mesh()
+    if ctx is None:
+        return fn(*batched, *replicated)
+    mesh, axis = ctx
+    n = dict(mesh.shape)[axis]
+    if batched[0].shape[0] % n != 0:
+        return fn(*batched, *replicated)
+    in_specs = tuple([P(axis)] * len(batched) + [P()] * len(replicated))
+    # check_vma=False: pallas_call out_shapes don't declare varying mesh
+    # axes; the transpose still psums cotangents of the unmapped inputs
+    # (pinned by tests/test_op_partition.py's parameter-gradient parity)
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(axis), check_vma=False)
+    return mapped(*batched, *replicated)

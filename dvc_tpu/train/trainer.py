@@ -99,6 +99,11 @@ class Trainer:
         self.tx = make_optimizer(opt)
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=getattr(opt, 'tpu_mesh_data', 1))
+        # pallas_call is opaque to GSPMD — advertise the mesh so the
+        # deformable ops shard_map their kernels over the data axis
+        from ..parallel.op_partition import set_op_mesh
+        if dict(self.mesh.shape).get('data', 1) > 1:
+            set_op_mesh(self.mesh)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1),
                                    static_argnums=(6,))

@@ -1,0 +1,97 @@
+"""Pallas ops under a multi-device mesh via shard_map.
+
+GSPMD cannot partition a pallas_call, so the op dispatchers wrap the
+kernel in shard_map over the mesh's data axis when a trainer advertises
+one (``dvc_tpu/parallel/op_partition.py``).  These tests run the real
+shard_map plumbing on the 8-device CPU mesh with the kernels in
+interpret mode: forward parity and — the part GSPMD would otherwise own —
+the psum of parameter cotangents inserted by shard_map's transpose.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvc_tpu.ops.dsa_step import dsa_sample_attend, dsa_sample_attend_ref
+from dvc_tpu.ops.ms_deform_attn import ms_deform_attn
+from dvc_tpu.parallel.mesh import make_mesh
+from dvc_tpu.parallel.op_partition import get_op_mesh, op_mesh
+
+from test_dsa_step import make_inputs
+
+
+def test_dsa_forward_sharded_matches_ref():
+    args, shapes = make_inputs(B=8)
+    want = dsa_sample_attend_ref(*args, shapes)
+    with op_mesh(make_mesh(n_data=8)):
+        got = jax.jit(
+            lambda *a: dsa_sample_attend(*a, shapes,
+                                         impl='pallas_interpret'))(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dsa_gradients_sharded_including_param_psum():
+    args, shapes = make_inputs(seed=7, B=8)
+
+    def loss_of(impl, mesh):
+        def f(*a):
+            out = dsa_sample_attend(*a, shapes, impl=impl)
+            wts = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                          .reshape(out.shape))
+            return jnp.sum(out * wts)
+        if mesh is None:
+            return jax.jit(jax.grad(f, argnums=(0, 4, 5, 6, 7)))(*args)
+        with op_mesh(mesh):
+            return jax.jit(jax.grad(f, argnums=(0, 4, 5, 6, 7)))(*args)
+
+    # grads wrt value (batched) and hvec/ctx_w/ctx_b/alpha_w (hvec batched,
+    # the rest replicated -> their cotangents cross shard_map's psum)
+    want = loss_of('ref', None)
+    got = loss_of('pallas_interpret', make_mesh(n_data=8))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_msda_forward_and_grads_sharded():
+    rng = np.random.default_rng(11)
+    B, H, Dh, Q, L, P = 8, 2, 8, 5, 2, 3
+    shapes = (16, 8)
+    S = sum(shapes)
+    value = jnp.asarray(rng.standard_normal((B, S, H, Dh)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, (B, Q, H, L, P)), jnp.float32)
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((B, Q, H, L * P)), jnp.float32)
+    ).reshape(B, Q, H, L, P)
+
+    def f(impl):
+        def loss(v, s, a):
+            out = ms_deform_attn(v, shapes, s, a, mode='border', impl=impl)
+            return jnp.sum(out * jnp.sin(
+                jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)))
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+            value, loc, attn)
+
+    want_v, want_g = f('ref')
+    with op_mesh(make_mesh(n_data=8)):
+        got_v, got_g = f('pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-4)
+    for w, g in zip(want_g, got_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fallbacks():
+    # batch not divisible by the axis -> direct (replicated) call, same math
+    args, shapes = make_inputs(seed=5, B=3)
+    want = dsa_sample_attend_ref(*args, shapes)
+    mesh = make_mesh(n_data=8)
+    with op_mesh(mesh):
+        got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # a data axis of size 1 is treated as "no mesh"
+    with op_mesh(make_mesh(n_data=1)):
+        assert get_op_mesh() is None
+    assert get_op_mesh() is None
