@@ -3,10 +3,13 @@ equivalent; reference ``train.py:71-75`` nthreads).
 
 Wraps any (batch, meta) iterator: host-side collation runs in a worker
 thread while the device computes, so input latency overlaps the step.
+``DevicePrefetchLoader`` adds the second stage torch has no analogue for:
+a device-transfer lookahead that double-buffers batches in HBM.
 """
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 
@@ -43,3 +46,36 @@ class PrefetchLoader:
         t.join()
         if err:
             raise err[0]
+
+
+class DevicePrefetchLoader:
+    """Two-stage input pipeline: host collation in a worker thread
+    (``PrefetchLoader``) plus a device-transfer lookahead.
+
+    ``prepare`` (normally ``Trainer.prepare_batch``) runs bucketing and
+    issues the ``jax.device_put`` for the *next* batch while the current
+    step computes — device_put is asynchronous, so the host->device link
+    (PCIe, or a long remote-TPU tunnel) overlaps the MXU instead of
+    serializing with it.  Yielded batches carry ``_prepared=True`` so the
+    trainer passes them straight to the jitted step.
+    """
+
+    def __init__(self, loader, prepare, depth: int = 1, host_depth: int = 2):
+        self.loader = loader
+        self.prepare = prepare
+        self.depth = max(depth, 1)
+        self.host_depth = host_depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        pending = collections.deque()
+        for batch, meta in PrefetchLoader(self.loader, self.host_depth):
+            prepared = dict(self.prepare(batch))
+            prepared['_prepared'] = True
+            pending.append((prepared, meta))
+            if len(pending) > self.depth:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()

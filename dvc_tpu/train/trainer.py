@@ -272,10 +272,22 @@ class Trainer:
         out['cap_mask'] = cap_mask[..., :bucket]
         return out
 
-    def train_step(self, state, batch, lr, ss_prob, rng):
+    def prepare_batch(self, batch):
+        """Host-side batch prep: caption-length bucketing + the (async)
+        ``device_put`` onto the mesh.  ``DevicePrefetchLoader`` calls this
+        one batch ahead so the transfer overlaps the running step; the
+        returned dict is marked so ``train_step`` skips re-prepping."""
         if getattr(self.opt, 'caption_len_bucketing', 1):
             batch = self.bucket_caption_length(batch)
         batch = shard_batch(batch, self.mesh)
+        batch['_prepared'] = True
+        return batch
+
+    def train_step(self, state, batch, lr, ss_prob, rng):
+        batch = dict(batch)
+        if not batch.pop('_prepared', False):
+            batch = self.prepare_batch(batch)
+            batch.pop('_prepared')
         params, opt_state, losses = self._train_step(
             state['params'], state['opt_state'], batch,
             jnp.float32(lr), jnp.float32(ss_prob), rng,

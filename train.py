@@ -111,8 +111,14 @@ def train(opt):
         n = 0
         K = max(int(getattr(opt, 'steps_per_dispatch', 1)), 1)
         pending = []
-        from dvc_tpu.data.prefetch import PrefetchLoader
-        for batch, meta in PrefetchLoader(train_loader):
+        from dvc_tpu.data.prefetch import DevicePrefetchLoader, PrefetchLoader
+        if K == 1 and getattr(opt, 'device_prefetch', 1):
+            # double-buffer: next batch's device_put overlaps this step
+            loader_iter = DevicePrefetchLoader(train_loader,
+                                               trainer.prepare_batch)
+        else:
+            loader_iter = PrefetchLoader(train_loader)
+        for batch, meta in loader_iter:
             if opt.debug and n >= 5:
                 break
             rng, step_rng = jax.random.split(rng)
