@@ -122,7 +122,10 @@ def evaluate(trainer, state, loader, dvc_json_path, logger=None,
     n_batches = 0
     translator = loader.ds.translator
 
-    for batch, meta in loader:
+    from ..data.prefetch import DevicePrefetchLoader
+    iter_loader = (DevicePrefetchLoader(loader, trainer.prepare_eval_batch)
+                   if getattr(opt, 'device_prefetch', 1) else loader)
+    for batch, meta in iter_loader:
         out, losses = trainer.eval_step(state, batch)
         n_batches += 1
         total = sum(float(losses[k]) * w for k, w in weight_dict.items()

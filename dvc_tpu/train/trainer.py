@@ -296,8 +296,17 @@ class Trainer:
                  'step': state['step'] + 1}
         return state, losses
 
-    def eval_step(self, state, batch):
+    def prepare_eval_batch(self, batch):
+        """Eval-side ``prepare_batch`` (sharded async device_put, no
+        bucketing — eval decodes a fixed max length)."""
         batch = shard_batch(batch, self.mesh)
+        batch['_prepared'] = True
+        return batch
+
+    def eval_step(self, state, batch):
+        batch = dict(batch)
+        if not batch.pop('_prepared', False):
+            batch = shard_batch(batch, self.mesh)
         return self._eval_step(state['params'], batch)
 
 

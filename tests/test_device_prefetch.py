@@ -43,6 +43,21 @@ def test_device_prefetch_matches_plain_path():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_eval_step_prepared_matches_raw():
+    opt = tiny_opt(msda_impl='ref', drop_prob=0.0,
+                   transformer_dropout_prob=0.0)
+    (b0, _), = _batches(1)
+    t = Trainer(opt)
+    s = t.init_state(b0, seed=0)
+    out_raw, losses_raw = t.eval_step(s, b0)
+    out_pre, losses_pre = t.eval_step(s, t.prepare_eval_batch(dict(b0)))
+    for k in losses_raw:
+        np.testing.assert_allclose(float(losses_pre[k]),
+                                   float(losses_raw[k]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_pre['pred_boxes']),
+                               np.asarray(out_raw['pred_boxes']), rtol=1e-6)
+
+
 def test_prepared_batches_skip_reprep():
     opt = tiny_opt(msda_impl='ref')
     (b0, _), = _batches(1)
