@@ -2,6 +2,7 @@
 identical losses/params to feeding train_step raw host batches."""
 import jax
 import numpy as np
+import pytest
 
 from dvc_tpu.data.prefetch import DevicePrefetchLoader
 from dvc_tpu.train import Trainer
@@ -13,6 +14,7 @@ def _batches(n=3):
         np.random.default_rng(i)).items()}, {'i': i}) for i in range(n)]
 
 
+@pytest.mark.heavy
 def test_device_prefetch_matches_plain_path():
     opt = tiny_opt(msda_impl='ref', drop_prob=0.0,
                    transformer_dropout_prob=0.0)
@@ -43,6 +45,7 @@ def test_device_prefetch_matches_plain_path():
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_eval_step_prepared_matches_raw():
     opt = tiny_opt(msda_impl='ref', drop_prob=0.0,
                    transformer_dropout_prob=0.0)
