@@ -64,6 +64,7 @@ class PDVCConfig:
     msda_impl: str = 'auto'
     msda_boundary: str = 'zeros'
     compute_dtype: str = 'float32'
+    seq_shard: bool = False
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -99,6 +100,7 @@ class PDVCConfig:
             msda_impl=opt.msda_impl,
             msda_boundary=getattr(opt, 'msda_boundary', 'zeros'),
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
+            seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -223,11 +225,24 @@ class PDVC(nn.Module):
             [(~m).astype(jnp.float32).sum(1) / m.shape[1] for m in masks],
             axis=1)                                             # (B, L)
 
-        memory = src_flat
+        # sequence parallelism for long videos: shard the flattened frame
+        # axis over the mesh's 'model' axis — the encoder is the only
+        # S-quadratic-free but S-heavy stage (the reference downsamples
+        # long videos instead). XLA partitions the FFN/elementwise work
+        # and inserts the collectives the deformable sampling needs.
+        if c.seq_shard:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.op_partition import constrain
+            sp = lambda x: constrain(x, P('data', 'model', None))  # noqa: E731
+        else:
+            sp = lambda x: x  # noqa: E731
+
+        memory = sp(src_flat)
         ref = encoder_reference_points(shapes, valid_ratios)
         for layer in self.enc_stack:
-            memory = layer(memory, pos_flat.astype(memory.dtype), ref,
-                           shapes, mask_flat, deterministic)
+            memory = sp(layer(memory, pos_flat.astype(memory.dtype), ref,
+                              shapes, mask_flat, deterministic))
         return memory.astype(jnp.float32), shapes, valid_ratios, mask_flat
 
     # ------------------------------------------------------------------

@@ -31,11 +31,12 @@ _OP_MESH = None  # (Mesh, axis_name) | None
 
 
 def set_op_mesh(mesh, axis: str = 'data'):
-    """Advertise the mesh the batch-parallel ops should shard_map over.
-    Pass mesh=None to clear.  A mesh whose ``axis`` has size 1 is treated
-    as unset (the wrap would be a no-op)."""
+    """Advertise the mesh for op-level partitioning (shard_map of the
+    pallas kernels over ``axis``; activation sharding constraints).  Pass
+    mesh=None to clear.  A single-device mesh is treated as unset (every
+    wrap would be a no-op)."""
     global _OP_MESH
-    if mesh is None or dict(mesh.shape).get(axis, 1) <= 1:
+    if mesh is None or mesh.size <= 1:
         _OP_MESH = None
     else:
         _OP_MESH = (mesh, axis)
@@ -69,8 +70,8 @@ def partition_batched(fn, batched, replicated=()):
     if ctx is None:
         return fn(*batched, *replicated)
     mesh, axis = ctx
-    n = dict(mesh.shape)[axis]
-    if batched[0].shape[0] % n != 0:
+    n = dict(mesh.shape).get(axis, 1)
+    if n <= 1 or batched[0].shape[0] % n != 0:
         return fn(*batched, *replicated)
     in_specs = tuple([P(axis)] * len(batched) + [P()] * len(replicated))
     # check_vma=False: pallas_call out_shapes don't declare varying mesh
@@ -79,3 +80,42 @@ def partition_batched(fn, batched, replicated=()):
     mapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                            out_specs=P(axis), check_vma=False)
     return mapped(*batched, *replicated)
+
+
+def constrain(x, spec: P):
+    """``with_sharding_constraint`` against the op mesh, or identity when
+    none is set / the spec's axes all have size 1.  Lets model code state
+    activation layouts (e.g. sequence parallelism over the 'model' axis)
+    without threading a Mesh through the module tree.
+
+    Dims whose size does not divide their axis product are left
+    unconstrained (with a trace-time warning): with_sharding_constraint
+    has no implicit padding, and an uneven frame pyramid is a config
+    choice (pick frame_embedding_num so sum(T/2^l) divides the axis)."""
+    ctx = get_op_mesh()
+    if ctx is None:
+        return x
+    mesh, _ = ctx
+    shape = dict(mesh.shape)
+
+    def axis_prod(axes):
+        if axes is None:
+            return 1
+        axes = (axes,) if isinstance(axes, str) else axes
+        n = 1
+        for a in axes:
+            n *= shape.get(a, 1)
+        return n
+
+    sizes = [axis_prod(a) for a in spec]
+    if all(n <= 1 for n in sizes):
+        return x
+    for dim, n in zip(x.shape, sizes):
+        if n > 1 and dim % n != 0:
+            import warnings
+            warnings.warn(
+                f'constrain: dim of size {dim} not divisible by mesh axes '
+                f'{spec} — leaving unsharded', stacklevel=2)
+            return x
+    from jax.sharding import NamedSharding
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

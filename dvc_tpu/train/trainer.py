@@ -99,11 +99,6 @@ class Trainer:
         self.tx = make_optimizer(opt)
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=getattr(opt, 'tpu_mesh_data', 1))
-        # pallas_call is opaque to GSPMD — advertise the mesh so the
-        # deformable ops shard_map their kernels over the data axis
-        from ..parallel.op_partition import set_op_mesh
-        if dict(self.mesh.shape).get('data', 1) > 1:
-            set_op_mesh(self.mesh)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1),
                                    static_argnums=(6,))
@@ -246,10 +241,12 @@ class Trainer:
             self._multi_step = jax.jit(self._multi_step_impl,
                                        donate_argnums=(0, 1),
                                        static_argnums=(6,))
-        params, opt_state, losses = self._multi_step(
-            state['params'], state['opt_state'], stacked,
-            jnp.float32(lr), jnp.float32(ss_prob), rng,
-            float(ss_prob) > 0)
+        from ..parallel.op_partition import op_mesh
+        with op_mesh(self.mesh):
+            params, opt_state, losses = self._multi_step(
+                state['params'], state['opt_state'], stacked,
+                jnp.float32(lr), jnp.float32(ss_prob), rng,
+                float(ss_prob) > 0)
         state = {'params': params, 'opt_state': opt_state,
                  'step': state['step'] + len(batches)}
         return state, losses
@@ -288,10 +285,15 @@ class Trainer:
         if not batch.pop('_prepared', False):
             batch = self.prepare_batch(batch)
             batch.pop('_prepared')
-        params, opt_state, losses = self._train_step(
-            state['params'], state['opt_state'], batch,
-            jnp.float32(lr), jnp.float32(ss_prob), rng,
-            float(ss_prob) > 0)
+        # trace-time mesh advertisement: pallas_call is opaque to GSPMD, so
+        # the deformable ops shard_map their kernels over the data axis and
+        # sequence-parallel constraints name the mesh axes (op_partition.py)
+        from ..parallel.op_partition import op_mesh
+        with op_mesh(self.mesh):
+            params, opt_state, losses = self._train_step(
+                state['params'], state['opt_state'], batch,
+                jnp.float32(lr), jnp.float32(ss_prob), rng,
+                float(ss_prob) > 0)
         state = {'params': params, 'opt_state': opt_state,
                  'step': state['step'] + 1}
         return state, losses
@@ -307,7 +309,9 @@ class Trainer:
         batch = dict(batch)
         if not batch.pop('_prepared', False):
             batch = shard_batch(batch, self.mesh)
-        return self._eval_step(state['params'], batch)
+        from ..parallel.op_partition import op_mesh
+        with op_mesh(self.mesh):
+            return self._eval_step(state['params'], batch)
 
 
 # ----------------------------------------------------------------------

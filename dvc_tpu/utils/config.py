@@ -229,6 +229,9 @@ def _build_parser() -> argparse.ArgumentParser:
     add('--steps_per_dispatch', type=int, default=1,
         help='>1 scans K optimizer steps per device dispatch '
              '(amortizes launch latency on long host links)')
+    add('--tpu_seq_shard', type=int, default=0,
+        help='shard the encoder frame axis over the mesh model axis '
+             '(sequence parallelism for very long videos)')
     add('--device_prefetch', type=int, default=1,
         help='double-buffer batches in HBM: the next batch\'s async '
              'device_put overlaps the running step')

@@ -72,3 +72,24 @@ def test_dp_tp_mesh_loss_matches(setup):
         results[(n_data, n_model)] = float(losses['total_loss'])
     np.testing.assert_allclose(results[(1, 1)], results[(4, 2)],
                                rtol=2e-4, atol=1e-4)
+
+
+def test_seq_shard_loss_matches():
+    """Sequence parallelism (tpu_seq_shard): the encoder's flattened frame
+    axis is constraint-sharded over 'model'; loss matches single-device.
+    T=64 -> pyramid sum 64+32+16+8=120, divisible by the model axis."""
+    rng = np.random.default_rng(0)
+    batch = {k: np.asarray(v) for k, v in
+             make_batch(rng, B=8, T=64).items()}
+    results = {}
+    for n_data, n_model, seq in ((1, 1, 0), (2, 4, 1)):
+        opt = tiny_opt(msda_impl='ref', frame_embedding_num=64,
+                       tpu_seq_shard=seq)
+        trainer = Trainer(opt, mesh=make_mesh(n_data=n_data,
+                                              n_model=n_model))
+        state = trainer.init_state(batch, seed=0)
+        state, losses = trainer.train_step(state, dict(batch), 1e-4, 0.0,
+                                           jax.random.PRNGKey(0))
+        results[(n_data, n_model)] = float(losses['total_loss'])
+    np.testing.assert_allclose(results[(1, 1)], results[(2, 4)],
+                               rtol=2e-4, atol=1e-4)
