@@ -25,25 +25,47 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
         err = []
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not put(item):
+                        return      # consumer went away (break / exception)
             except Exception as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # unblock and reap the worker even when the consumer abandons
+            # the generator early (debug-mode breaks, eval exceptions) —
+            # otherwise the thread parks forever in q.put holding a batch
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join()
         if err:
             raise err[0]
 
@@ -72,9 +94,7 @@ class DevicePrefetchLoader:
     def __iter__(self):
         pending = collections.deque()
         for batch, meta in PrefetchLoader(self.loader, self.host_depth):
-            prepared = dict(self.prepare(batch))
-            prepared['_prepared'] = True
-            pending.append((prepared, meta))
+            pending.append((self.prepare(batch), meta))
             if len(pending) > self.depth:
                 yield pending.popleft()
         while pending:

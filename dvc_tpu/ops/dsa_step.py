@@ -79,12 +79,17 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # 0.22 ms -> 0.03 ms without it).  This 13/6-degree rational approximation
 # (Eigen/XLA's float tanh: ~12 FMA + 1 divide) matches tanh to 3.6e-7 max
 # abs error over the full range — below f32 ulp noise for this op, so the
-# parity tests hold unchanged.  DVC_DSA_TANH=native restores jnp.tanh.
-_TANH_IMPL = os.environ.get('DVC_DSA_TANH', 'rational')
+# parity tests hold unchanged.  DVC_DSA_TANH=native restores jnp.tanh
+# (read at trace time, so it also works when set after import; the module
+# variable overrides the env for tests).
+_TANH_IMPL = None
 
 
 def _kernel_tanh(x):
-    if _TANH_IMPL == 'native':
+    impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', 'rational')
+    if impl not in ('native', 'rational'):
+        raise ValueError(f'DVC_DSA_TANH must be native|rational, got {impl!r}')
+    if impl == 'native':
         return jnp.tanh(x)
     xc = jnp.clip(x, -7.90531110763549805, 7.90531110763549805)
     x2 = xc * xc

@@ -98,13 +98,21 @@ def constrain(x, spec: P):
     mesh, _ = ctx
     shape = dict(mesh.shape)
 
+    names = [a for axes in spec if axes is not None
+             for a in ((axes,) if isinstance(axes, str) else axes)]
+    if any(a not in shape for a in names):
+        import warnings
+        warnings.warn(f'constrain: mesh {tuple(shape)} lacks axes of '
+                      f'{spec} — leaving unsharded', stacklevel=2)
+        return x
+
     def axis_prod(axes):
         if axes is None:
             return 1
         axes = (axes,) if isinstance(axes, str) else axes
         n = 1
         for a in axes:
-            n *= shape.get(a, 1)
+            n *= shape[a]
         return n
 
     sizes = [axis_prod(a) for a in spec]

@@ -269,22 +269,24 @@ class Trainer:
         out['cap_mask'] = cap_mask[..., :bucket]
         return out
 
+    def _prep_train(self, batch):
+        if getattr(self.opt, 'caption_len_bucketing', 1):
+            batch = self.bucket_caption_length(batch)
+        return shard_batch(batch, self.mesh)
+
     def prepare_batch(self, batch):
         """Host-side batch prep: caption-length bucketing + the (async)
         ``device_put`` onto the mesh.  ``DevicePrefetchLoader`` calls this
         one batch ahead so the transfer overlaps the running step; the
         returned dict is marked so ``train_step`` skips re-prepping."""
-        if getattr(self.opt, 'caption_len_bucketing', 1):
-            batch = self.bucket_caption_length(batch)
-        batch = shard_batch(batch, self.mesh)
+        batch = self._prep_train(batch)
         batch['_prepared'] = True
         return batch
 
     def train_step(self, state, batch, lr, ss_prob, rng):
         batch = dict(batch)
         if not batch.pop('_prepared', False):
-            batch = self.prepare_batch(batch)
-            batch.pop('_prepared')
+            batch = self._prep_train(batch)
         # trace-time mesh advertisement: pallas_call is opaque to GSPMD, so
         # the deformable ops shard_map their kernels over the data axis and
         # sequence-parallel constraints name the mesh axes (op_partition.py)

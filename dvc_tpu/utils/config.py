@@ -234,7 +234,9 @@ def _build_parser() -> argparse.ArgumentParser:
              '(sequence parallelism for very long videos)')
     add('--device_prefetch', type=int, default=1,
         help='double-buffer batches in HBM: the next batch\'s async '
-             'device_put overlaps the running step')
+             'device_put overlaps the running step (applies when '
+             'steps_per_dispatch=1; K>1 ships K stacked batches per '
+             'dispatch instead)')
     return p
 
 

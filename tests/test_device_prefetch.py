@@ -45,6 +45,40 @@ def test_device_prefetch_matches_plain_path():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_early_exit_reaps_prefetch_worker():
+    """Abandoning the loader mid-epoch (debug-mode break, eval exception)
+    must not leave the prefetch worker parked in q.put forever."""
+    import threading
+
+    from dvc_tpu.data.prefetch import PrefetchLoader
+
+    items = [({'x': np.zeros(4)}, {'i': i}) for i in range(50)]
+    before = threading.active_count()
+    for _ in range(5):
+        for j, item in enumerate(PrefetchLoader(items)):
+            if j == 1:
+                break                     # abandon the generator
+    import gc
+    gc.collect()                          # finalize abandoned generators
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        deadline -= 1
+        import time
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
+def test_prefetch_propagates_loader_errors():
+    from dvc_tpu.data.prefetch import PrefetchLoader
+
+    def bad():
+        yield ({'x': 1}, {})
+        raise RuntimeError('boom')
+
+    with pytest.raises(RuntimeError, match='boom'):
+        list(PrefetchLoader(bad()))
+
+
 @pytest.mark.heavy
 def test_eval_step_prepared_matches_raw():
     opt = tiny_opt(msda_impl='ref', drop_prob=0.0,

@@ -117,6 +117,10 @@ def train(opt):
             loader_iter = DevicePrefetchLoader(train_loader,
                                                trainer.prepare_batch)
         else:
+            if K > 1 and getattr(opt, 'device_prefetch', 1) and epoch == 0:
+                logger.info('steps_per_dispatch>1: K batches are stacked '
+                            'and shipped per dispatch; device_prefetch '
+                            'lookahead does not apply')
             loader_iter = PrefetchLoader(train_loader)
         for batch, meta in loader_iter:
             if opt.debug and n >= 5:
