@@ -96,6 +96,9 @@ def main(opt):
         ss_prob = ss_prob_for_epoch(opt, epoch)
         loader = FusionBatchLoader(train_ds, opt.batch_size, True, opt,
                                    seed=opt.seed + epoch, skip_keys=visited)
+        if getattr(opt, 'device_prefetch', 1):
+            from dvc_tpu.data.prefetch import DevicePrefetchLoader
+            loader = DevicePrefetchLoader(loader, trainer.prepare_batch)
         n, loss_sum, t0 = 0, {}, time.time()
         for batch, meta in loader:
             if opt.debug and n >= 5:
