@@ -83,10 +83,13 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # (read at trace time, so it also works when set after import; the module
 # variable overrides the env for tests).
 _TANH_IMPL = None
+# default pending a real-Mosaic validation run (the tunnel was down when
+# this landed); flip to 'rational' once measured
+_TANH_DEFAULT = 'native'
 
 
 def _kernel_tanh(x):
-    impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', 'rational')
+    impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', _TANH_DEFAULT)
     if impl not in ('native', 'rational'):
         raise ValueError(f'DVC_DSA_TANH must be native|rational, got {impl!r}')
     if impl == 'native':
