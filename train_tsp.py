@@ -139,10 +139,15 @@ def main():
         t0 = time.time()
         sums = {}
         nb = 0
-        for i in range(0, len(order) - args.batch_size + 1,
-                       args.batch_size):
-            chunk = [clips[j] for j in order[i:i + args.batch_size]]
-            state, metrics = trainer.train_step(state, make_batch(chunk), it)
+        def batches(order=order):
+            for i in range(0, len(order) - args.batch_size + 1,
+                           args.batch_size):
+                chunk = [clips[j] for j in order[i:i + args.batch_size]]
+                yield make_batch(chunk), None
+
+        from dvc_tpu.data.prefetch import PrefetchLoader
+        for batch, _ in PrefetchLoader(batches()):
+            state, metrics = trainer.train_step(state, batch, it)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             it += 1
