@@ -127,6 +127,69 @@ def bench_post(trainer, batch, B, n1, n2):
     return {'postprocess_ms': round(ms, 3)}
 
 
+def bench_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
+    """Standalone fused caption-step kernel (dsa_sample_attend) at the
+    flagship training shapes, fwd and fwd+bwd, per tanh formulation —
+    the kernel chain is ~12 ms of the 33 ms step (19 word steps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dvc_tpu.ops.dsa_step as dsa_mod
+    from dvc_tpu.ops.dsa_step import dsa_sample_attend
+
+    Pq, H, L, P, A, Dh = 24, 8, 4, 4, 512, 64
+    shapes = (200, 100, 50, 25)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    value = jax.random.normal(ks[0], (B, sum(shapes), H, Dh))
+    offsets = jax.random.normal(ks[1], (B, Pq, H, L, P)) * 0.1
+    ref_center = jax.random.uniform(ks[2], (B, Pq, L))
+    offset_scale = jnp.full((B, Pq, L), 0.05)
+    hvec = jax.random.normal(ks[3], (B, Pq, A)) * 0.1
+    ctx_w = jax.random.normal(ks[4], (Dh, A)) * 0.05
+    alpha_w = jax.random.normal(ks[5], (A,)) * 0.05
+
+    results = {}
+    outs = {}
+    for impl in tanh_impls:
+        dsa_mod._TANH_IMPL = impl
+
+        def one(hv, off):
+            return dsa_sample_attend(value, off, ref_center, offset_scale,
+                                     hv, ctx_w, jnp.zeros((A,)), alpha_w,
+                                     jnp.float32(0.0), shapes, impl='pallas')
+
+        grad_fn = jax.grad(
+            lambda hv, off: jnp.sum(one(hv, off) ** 2) * 1e-6,
+            argnums=(0, 1))
+
+        @jax.jit
+        def prog_fwd(n, hv):
+            def body(i, carry):
+                hv, acc = carry
+                out = one(hv + jnp.sin(acc) * 1e-12, offsets)
+                return hv, jnp.sum(out) * 1e-9
+            return jax.lax.fori_loop(0, n, body, (hv, jnp.float32(0.0)))[1]
+
+        @jax.jit
+        def prog_fwdbwd(n, hv):
+            def body(i, carry):
+                hv, acc = carry
+                g_hv, g_off = grad_fn(hv + jnp.sin(acc) * 1e-12, offsets)
+                return hv, jnp.sum(g_hv) + jnp.sum(g_off)
+            return jax.lax.fori_loop(0, n, body, (hv, jnp.float32(0.0)))[1]
+
+        ms_f, _ = _pair(prog_fwd, n1 * 4, n2 * 4, hvec)
+        ms_fb, _ = _pair(prog_fwdbwd, n1 * 4, n2 * 4, hvec)
+        results[f'kernel_fwd_ms_{impl}'] = round(ms_f, 3)
+        results[f'kernel_fwdbwd_ms_{impl}'] = round(ms_fb, 3)
+        outs[impl] = np.asarray(jax.device_get(one(hvec, offsets)))
+    dsa_mod._TANH_IMPL = None
+    if len(outs) == 2:
+        a, b = outs.values()
+        results['kernel_tanh_maxdiff'] = float(np.abs(a - b).max())
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--what', default='train,eval')
@@ -140,22 +203,27 @@ def main():
                     help='tpu_compute_dtype for the trunk + fused kernels')
     args = ap.parse_args()
 
-    from __graft_entry__ import _flagship_opt, _synthetic_batch
-    from dvc_tpu.train import Trainer
-    opt = _flagship_opt(frame_embedding_num=args.frames,
-                        max_caption_len=args.max_caption_len,
-                        tpu_mesh_data=1, tpu_compute_dtype=args.dtype)
-    trainer = Trainer(opt)
-    batch = _synthetic_batch(opt, B=args.batch)
-
     results = {'batch': args.batch, 'backend': jax.default_backend(),
                'protocol': 'in-graph fori diff '
                            f'N{args.n1}/N{args.n2}'}
-    for what in args.what.split(','):
-        fn = {'train': bench_train, 'eval': bench_eval,
-              'post': bench_post}[what.strip()]
-        results.update(fn(trainer, batch, args.batch, args.n1, args.n2))
+    whats = [w.strip() for w in args.what.split(',')]
+    if 'kernel' in whats:
+        results.update(bench_kernel(args.batch, args.n1, args.n2))
         print(json.dumps(results))
+        whats.remove('kernel')
+    if whats:
+        from __graft_entry__ import _flagship_opt, _synthetic_batch
+        from dvc_tpu.train import Trainer
+        opt = _flagship_opt(frame_embedding_num=args.frames,
+                            max_caption_len=args.max_caption_len,
+                            tpu_mesh_data=1, tpu_compute_dtype=args.dtype)
+        trainer = Trainer(opt)
+        batch = _synthetic_batch(opt, B=args.batch)
+        for what in whats:
+            fn = {'train': bench_train, 'eval': bench_eval,
+                  'post': bench_post}[what]
+            results.update(fn(trainer, batch, args.batch, args.n1, args.n2))
+            print(json.dumps(results))
     print('FINAL', json.dumps(results))
 
 
