@@ -190,6 +190,65 @@ def bench_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
     return results
 
 
+def bench_trunk(trainer, batch, B, n1, n2):
+    """Bisect the step: full vs forward-only vs fwd+bwd (no optimizer).
+    Run with --caption none to isolate the non-caption trunk."""
+    import jax.numpy as jnp
+    state = trainer.init_state(batch)
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(5e-5)
+    ssp = jnp.float32(0.0)
+    step = trainer._train_step_impl
+
+    @jax.jit
+    def full(n, params, opt_state):
+        def body(i, carry):
+            params, opt_state, acc = carry
+            b = dict(batch)
+            b['video_tensor'] = batch['video_tensor'] + jnp.sin(acc) * 1e-12
+            params, opt_state, losses = step(params, opt_state, b, lr, ssp,
+                                             jax.random.fold_in(rng, i))
+            return params, opt_state, losses['total_loss']
+        return jax.lax.fori_loop(0, n, body, (params, opt_state,
+                                              jnp.float32(0.0)))[2]
+
+    def loss_only(p, b):
+        out, losses = trainer.model.apply(p, b, eval_mode=False,
+                                          ss_prob=0.0, ss_enabled=False,
+                                          rngs={'dropout': rng,
+                                                'sample': rng})
+        return sum(losses[k] * w for k, w in trainer.weight_dict.items()
+                   if k in losses and w)
+
+    @jax.jit
+    def fwd_only(n, params):
+        def body(i, acc):
+            b = dict(batch)
+            b['video_tensor'] = batch['video_tensor'] + jnp.sin(acc) * 1e-12
+            return loss_only(params, b)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    @jax.jit
+    def fwd_bwd(n, params):
+        def body(i, acc):
+            b = dict(batch)
+            b['video_tensor'] = batch['video_tensor'] + jnp.sin(acc) * 1e-12
+            total, grads = jax.value_and_grad(loss_only)(params, b)
+            return total + jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(g) * 1e-12, grads,
+                jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    res = {}
+    ms, _ = _pair(full, n1, n2, state['params'], state['opt_state'])
+    res['trunk_full_ms'] = round(ms, 2)
+    ms, _ = _pair(fwd_only, n1, n2, state['params'])
+    res['trunk_fwd_ms'] = round(ms, 2)
+    ms, _ = _pair(fwd_bwd, n1, n2, state['params'])
+    res['trunk_fwdbwd_ms'] = round(ms, 2)
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--what', default='train,eval')
@@ -201,6 +260,9 @@ def main():
     ap.add_argument('--dtype', default='float32',
                     choices=['float32', 'bfloat16'],
                     help='tpu_compute_dtype for the trunk + fused kernels')
+    ap.add_argument('--caption', default=None,
+                    help='override caption_decoder_type (e.g. none, to '
+                         'isolate the trunk with --what trunk)')
     args = ap.parse_args()
 
     results = {'batch': args.batch, 'backend': jax.default_backend(),
@@ -214,14 +276,19 @@ def main():
     if whats:
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
-        opt = _flagship_opt(frame_embedding_num=args.frames,
-                            max_caption_len=args.max_caption_len,
-                            tpu_mesh_data=1, tpu_compute_dtype=args.dtype)
+        kw = dict(frame_embedding_num=args.frames,
+                  max_caption_len=args.max_caption_len,
+                  tpu_mesh_data=1, tpu_compute_dtype=args.dtype)
+        if args.caption:
+            kw['caption_decoder_type'] = args.caption
+            if args.caption == 'none':
+                kw['caption_loss_coef'] = 0.0
+        opt = _flagship_opt(**kw)
         trainer = Trainer(opt)
         batch = _synthetic_batch(opt, B=args.batch)
         for what in whats:
             fn = {'train': bench_train, 'eval': bench_eval,
-                  'post': bench_post}[what]
+                  'post': bench_post, 'trunk': bench_trunk}[what]
             results.update(fn(trainer, batch, args.batch, args.n1, args.n2))
             print(json.dumps(results))
     print('FINAL', json.dumps(results))
