@@ -249,6 +249,28 @@ def bench_trunk(trainer, batch, B, n1, n2):
     return res
 
 
+def bench_matcher(B, n1, n2, G=8, Q=100, layers=4):
+    """On-device JV assignment at flagship shapes: one vmapped solve over
+    B*layers problems of (G, Q) — the per-step matching cost the reference
+    pays as a GPU->CPU scipy sync."""
+    import jax.numpy as jnp
+
+    from dvc_tpu.ops.assignment import masked_assignment
+    cost = jax.random.normal(jax.random.PRNGKey(0), (B * layers, G, Q))
+    mask = jnp.ones((B * layers, G), bool)
+
+    @jax.jit
+    def prog(n, cost):
+        def body(i, acc):
+            c = cost + jnp.sin(acc) * 1e-9
+            cols = jax.vmap(masked_assignment)(c, mask)
+            return jnp.sum(cols).astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms, _ = _pair(prog, n1, n2, cost)
+    return {f'matcher_ms_{B}x{layers}layers': round(ms, 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--what', default='train,eval')
@@ -273,6 +295,10 @@ def main():
         results.update(bench_kernel(args.batch, args.n1, args.n2))
         print(json.dumps(results))
         whats.remove('kernel')
+    if 'matcher' in whats:
+        results.update(bench_matcher(args.batch, args.n1, args.n2))
+        print(json.dumps(results))
+        whats.remove('matcher')
     if whats:
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
