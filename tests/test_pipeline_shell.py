@@ -50,7 +50,12 @@ def test_full_shell_pipeline(tmp_path):
     out_dir = tmp_path / 'out'
     env = dict(os.environ)
     env.update(BACKBONE='r3d_18', CLIP_LEN='4', STRIDE='16',
-               EVAL_MODEL='last')
+               EVAL_MODEL='last',
+               # hermetic: the pipeline subprocesses must not depend on the
+               # box's TPU tunnel being up — skip the axon PJRT plugin
+               # registration (sitecustomize gates on this var) and run the
+               # whole CPU-friendly pipeline on the host backend
+               PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu')
     r = subprocess.run(
         ['bash', os.path.join(ROOT, 'test_and_visualize.sh'),
          str(vid_dir), str(out_dir), run_folder],
