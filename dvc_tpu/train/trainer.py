@@ -234,6 +234,13 @@ class Trainer:
         batches: list of batch dicts (identical shapes).  Returns the new
         state and per-step loss dicts stacked on the leading axis.
         """
+        if getattr(self.opt, 'caption_len_bucketing', 1):
+            # one bucket for the whole stack (scan bodies share shapes):
+            # slice every batch to the K-stack's longest caption
+            longest = max(int(np.asarray(b['cap_mask']).sum(-1).max())
+                          for b in batches) if batches else 0
+            batches = [self.bucket_caption_length(b, floor=longest)
+                       for b in batches]
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
         stacked = shard_batch_axis1(stacked, self.mesh)
@@ -252,15 +259,17 @@ class Trainer:
         return state, losses
 
     @staticmethod
-    def bucket_caption_length(batch, multiple: int = 8):
+    def bucket_caption_length(batch, multiple: int = 8, floor: int = 0):
         """Slice the caption tensors to the batch's longest caption (rounded
         up to ``multiple``) — the teacher-forcing scan then runs only as many
         word steps as needed.  Exactly equivalent: the dropped steps are
         fully masked, contributing zero loss.  A few length buckets means a
-        few compiled variants instead of one per length."""
+        few compiled variants instead of one per length.  ``floor`` forces a
+        minimum length (multi-step stacks bucket to their joint longest)."""
         cap_mask = np.asarray(batch['cap_mask'])
         Lc = cap_mask.shape[-1]
         longest = int(cap_mask.sum(-1).max()) if cap_mask.size else Lc
+        longest = max(longest, floor)
         bucket = min(max(-(-max(longest, 2) // multiple) * multiple, 2), Lc)
         if bucket == Lc:
             return batch
