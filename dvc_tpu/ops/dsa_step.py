@@ -76,15 +76,16 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 
 # Mosaic lowers jnp.tanh through an exp-based form (~30 VPU ops/element);
 # the (Q·H·LP, A) tanh activation is the kernel's VPU roofline (fwd drops
-# 0.22 ms -> 0.03 ms without it).  This 13/6-degree rational approximation
-# (Eigen/XLA's float tanh: ~12 FMA + 1 divide) matches tanh to 3.6e-7 max
-# abs error over the full range — below f32 ulp noise for this op, so the
-# parity tests hold unchanged.  DVC_DSA_TANH=native restores jnp.tanh
-# (read at trace time, so it also works when set after import; the module
-# variable overrides the env for tests).
+# 0.22 ms -> 0.03 ms without it).  The 'rational' impl is the 13/6-degree
+# rational approximation (Eigen/XLA's float tanh: ~12 FMA + 1 divide); it
+# matches tanh to 3.6e-7 max abs error over the full range — below f32 ulp
+# noise for this op, so the parity tests hold unchanged.  Select with
+# DVC_DSA_TANH=native|rational (read at trace time; the module variable
+# overrides the env for tests).  Default is 'native' until the rational
+# form gets a real-Mosaic validation + timing run (the TPU tunnel was down
+# when it landed): `python tools/bench_honest.py --what kernel`, then flip
+# _TANH_DEFAULT if it wins.
 _TANH_IMPL = None
-# default pending a real-Mosaic validation run (the tunnel was down when
-# this landed); flip to 'rational' once measured
 _TANH_DEFAULT = 'native'
 
 
