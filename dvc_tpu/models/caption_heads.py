@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ms_deform_attn_sample_values
-from ..ops.dsa_step import dsa_sample_attend
+from ..ops.dsa_step import dsa_lstm_step, dsa_sample_attend
 from ..ops.embed import embed_lookup
 from .deformable_transformer import msda_offset_bias_init
 
@@ -315,6 +315,10 @@ class DSACaptionHead(_CaptionHeadBase):
     msda_impl: str = 'auto'
     att_impl: str = 'auto'
     att_precision: str = 'float32'
+    # fuse the LSTM cell into the sample+attend kernel (one launch per word
+    # step; requires num_layers == 1 and att_hid_size > 0) — same math,
+    # kept switchable for A/B tests and the multi-layer fallback
+    lstm_fuse: bool = True
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -386,13 +390,32 @@ class DSACaptionHead(_CaptionHeadBase):
         ctx_w = w_ih0[E:E + d]
         const_ih = query.reshape(n, d) @ w_ih0[E + d:]        # (n, 4R)
 
+        fuse = self.lstm_fuse and att is not None and cfg.num_layers == 1
+
         def run(z0, state):
             h_top = state[0][-1]                              # (n, R)
             offsets = (h_top.reshape(B, Pq, R) @ off_w[:R]
                        + off_const).reshape(B, Pq, H, L, P)
+            if fuse:
+                # one fused launch per word step: tap sampling, additive
+                # attention AND the LSTM cell live entirely in VMEM — ctx
+                # and the gate preactivations never reach HBM (see
+                # ops/dsa_step.py::dsa_lstm_step)
+                hvec = (h_top @ att['h2att_w']
+                        + att['h2att_b']).reshape(B, Pq, -1)
+                h_new, c_new = dsa_lstm_step(
+                    value, offsets, ref_center, offset_scale, hvec,
+                    z0.reshape(B, Pq, 4 * R), h_top.reshape(B, Pq, R),
+                    state[1][-1].reshape(B, Pq, R), ctx_w, lstm[0][1],
+                    att['ctx2att_w'], att['ctx2att_b'],
+                    att['alpha_w'][:, 0], att['alpha_b'][0],
+                    tuple(temporal_shapes), impl=self.att_impl,
+                    precision=self.att_precision)
+                h_new = h_new.reshape(n, R)
+                return h_new, (h_new[None], c_new.reshape(n, R)[None])
             if att is not None:
-                # one fused launch per word step: tap sampling + additive
-                # attention live entirely in VMEM (see ops/dsa_step.py);
+                # unfused fallback (multi-layer LSTM / A-B testing): the
+                # sample+attend kernel alone, LSTM glue in XLA;
                 # impl='ref' composes the same math from the standalone ops
                 hvec = (h_top @ att['h2att_w']
                         + att['h2att_b']).reshape(B, Pq, -1)

@@ -1,4 +1,5 @@
-"""Fused caption-step op: deformable tap sampling + additive attention.
+"""Fused caption-step ops: deformable tap sampling + additive attention,
+optionally including the caption LSTM cell (``dsa_lstm_step``).
 
 Reference: the LSTM-DSA word step (``pdvc/CaptioningHead/LSTM_DSA.py:233-257``
 + ``ms_deform_attn_for_caption.py:102-123``): at every word the caption LSTM
@@ -179,6 +180,102 @@ def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
     return u, a, w
 
 
+def _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref, ab, temporal_shapes,
+              Q, H, L, P, Dh, A, dot):
+    """Shared forward: taps + additive attention + context reduction."""
+    taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh, dot)
+    _, a, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab,
+                             Q, H, L, P, Dh, A, dot)
+    ctx = jnp.sum(w.reshape(Q, H, L * P, 1)
+                  * taps.reshape(Q, H, L * P, Dh), axis=2)
+    return taps, a, w, ctx
+
+
+def _attn_bwd_from_g(value, loc, taps, a, w, cw_ref, aw_ref, g,
+                     temporal_shapes, starts, Q, H, L, P, Dh, A, dot):
+    """Backward of (sampling + attention) given g = d ctx (Q, H, Dh).
+
+    Returns value grads (dvalue, dloc, dhvec) plus attention weight grads
+    as plain values (dcw, dcb, daw, dab) — callers own ref accumulation."""
+    tflat = taps.reshape(Q, H, L * P, Dh)
+
+    # ---- attention backward (ctx = sum_p w_p t_p)
+    dw = jnp.sum(tflat * g[:, :, None, :], axis=-1)      # (Q, H, LP)
+    dtaps = w[..., None] * g[:, :, None, :]              # (Q, H, LP, Dh)
+    ddot = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
+    da = ddot[..., None] * aw_ref[0][None, None, None, :]
+    du = da * (1.0 - a * a)                              # (Q, H, LP, A)
+    dtaps = dtaps + dot(
+        du.reshape(Q * H * L * P, A), cw_ref[:].T).reshape(
+            Q, H, L * P, Dh)
+    dhvec = jnp.sum(du, axis=(1, 2))                     # (Q, A)
+    dcw = dot(tflat.reshape(Q * H * L * P, Dh).T,
+              du.reshape(Q * H * L * P, A))
+    dcb = jnp.sum(du, axis=(0, 1, 2))[None, :]
+    daw = jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
+    dab = jnp.sum(ddot)
+
+    # ---- sampling backward, per level / head
+    dtaps5 = dtaps.reshape(Q, H, L, P, Dh)
+    dvalue_levels = []
+    dloc_rows = []                                       # per (h, l)
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        v_l = value[s0:s0 + T]
+        dv_heads = []
+        for h in range(H):
+            M, M_lo, M_hi = _interp_mats(loc[h, l], T)
+            dt_h = dtaps5[:, h, l].reshape(Q * P, Dh)
+            dv_heads.append(dot(M.T, dt_h)[:, None])
+            # d tap / d pos = v[idx_hi] - v[idx_lo]; pos = loc*T - 0.5.
+            # One (QP,T)@(T,Dh) matmul + a (QP,Dh) reduce — replaces
+            # the (QP,T) dM matmul plus two (QP,T) masked reductions
+            # (the backward's former VPU bottleneck)
+            diff = dot(M_hi - M_lo, v_l[:, h])           # (QP, Dh)
+            dloc_rows.append(
+                (jnp.sum(dt_h * diff, axis=-1) * T)[None, None, :])
+        dvalue_levels.append(jnp.concatenate(dv_heads, axis=1))
+    # levels tile S contiguously (starts are the cumsum)
+    dvalue = jnp.concatenate(dvalue_levels, axis=0)
+    # rows were appended l-major then h: reorder to (H, L, QP)
+    per_l = [jnp.concatenate(dloc_rows[l * H:(l + 1) * H], axis=0)
+             for l in range(L)]                          # each (H, 1, QP)
+    dloc = jnp.concatenate(per_l, axis=1)                # (H, L, QP)
+    return dvalue, dloc, dhvec, dcw, dcb, daw, dab
+
+
+# ----------------------------------------------------------------------------
+# LSTM-cell math (num_layers == 1, bias-free — torch nn.LSTM(bias=False))
+# ----------------------------------------------------------------------------
+
+def _lstm_cell_fwd(z, c_prev):
+    """z: (..., 4R) preactivation in torch gate order (i, f, g, o);
+    c_prev: (..., R).  Returns (h_new, c_new)."""
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c_new = (jax.nn.sigmoid(f) * c_prev
+             + jax.nn.sigmoid(i) * _kernel_tanh(g))
+    h_new = jax.nn.sigmoid(o) * _kernel_tanh(c_new)
+    return h_new, c_new
+
+
+def _lstm_cell_bwd(z, c_prev, gh, gc):
+    """Backward of ``_lstm_cell_fwd`` recomputing gates from (z, c_prev).
+    Returns (dz, dc_prev)."""
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    si = jax.nn.sigmoid(i)
+    sf = jax.nn.sigmoid(f)
+    so = jax.nn.sigmoid(o)
+    tg = _kernel_tanh(g)
+    c_new = sf * c_prev + si * tg
+    th = _kernel_tanh(c_new)
+    dc_tot = gc + gh * so * (1.0 - th * th)
+    do = gh * th * so * (1.0 - so)
+    df = dc_tot * c_prev * sf * (1.0 - sf)
+    di = dc_tot * tg * si * (1.0 - si)
+    dg = dc_tot * si * (1.0 - tg * tg)
+    dz = jnp.concatenate([di, df, dg, do], axis=-1)
+    return dz, dc_tot * sf
+
+
 # ----------------------------------------------------------------------------
 # Pallas kernels (grid over B)
 # ----------------------------------------------------------------------------
@@ -191,12 +288,9 @@ def _make_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
         value = value_ref[0]                             # (S, H, Dh)
         loc = loc_ref[0]                                 # (H, L, QP)
         hvec = hvec_ref[0]                               # (Q, A)
-        taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh,
-                                dot)
-        _, _, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
-                                 ab_ref[0, 0], Q, H, L, P, Dh, A, dot)
-        ctx = jnp.sum(w.reshape(Q, H, L * P, 1)
-                      * taps.reshape(Q, H, L * P, Dh), axis=2)
+        _, _, _, ctx = _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref,
+                                 ab_ref[0, 0], temporal_shapes,
+                                 Q, H, L, P, Dh, A, dot)
         out_ref[0] = ctx
     return kernel
 
@@ -215,22 +309,15 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
         hvec = hvec_ref[0]
         g = g_ref[0]                                     # (Q, H, Dh)
 
-        taps, Ms = _compute_taps(value, loc, temporal_shapes, Q, H, L, P,
-                                 Dh, dot)
-        _, a, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref,
-                                 ab_ref[0, 0], Q, H, L, P, Dh, A, dot)
-        tflat = taps.reshape(Q, H, L * P, Dh)
-
-        # ---- attention backward (ctx = sum_p w_p t_p)
-        dw = jnp.sum(tflat * g[:, :, None, :], axis=-1)  # (Q, H, LP)
-        dtaps = w[..., None] * g[:, :, None, :]          # (Q, H, LP, Dh)
-        ddot = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
-        da = ddot[..., None] * aw_ref[0][None, None, None, :]
-        du = da * (1.0 - a * a)                          # (Q, H, LP, A)
-        dtaps = dtaps + dot(
-            du.reshape(Q * H * L * P, A), cw_ref[:].T).reshape(
-                Q, H, L * P, Dh)
-        dhvec_ref[0] = jnp.sum(du, axis=(1, 2))          # (Q, A)
+        taps, a, w, _ = _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref,
+                                  ab_ref[0, 0], temporal_shapes,
+                                  Q, H, L, P, Dh, A, dot)
+        dvalue, dloc, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
+            value, loc, taps, a, w, cw_ref, aw_ref, g, temporal_shapes,
+            starts, Q, H, L, P, Dh, A, dot)
+        dvalue_ref[0] = dvalue
+        dloc_ref[0] = dloc
+        dhvec_ref[0] = dhvec
 
         @pl.when(b == 0)
         def _():
@@ -238,38 +325,10 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
             dcb_ref[:] = jnp.zeros_like(dcb_ref)
             daw_ref[:] = jnp.zeros_like(daw_ref)
             dab_ref[:] = jnp.zeros_like(dab_ref)
-        dcw_ref[:] += dot(
-            tflat.reshape(Q * H * L * P, Dh).T,
-            du.reshape(Q * H * L * P, A))
-        dcb_ref[:] += jnp.sum(du, axis=(0, 1, 2))[None, :]
-        daw_ref[:] += jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
-        dab_ref[:] += jnp.sum(ddot)[None, None]
-
-        # ---- sampling backward, per level / head
-        dtaps5 = dtaps.reshape(Q, H, L, P, Dh)
-        dvalue_levels = []
-        dloc_rows = []                                   # per (h, l)
-        for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
-            v_l = value[s0:s0 + T]
-            dv_heads = []
-            for h in range(H):
-                M, M_lo, M_hi = _interp_mats(loc[h, l], T)
-                dt_h = dtaps5[:, h, l].reshape(Q * P, Dh)
-                dv_heads.append(dot(M.T, dt_h)[:, None])
-                # d tap / d pos = v[idx_hi] - v[idx_lo]; pos = loc*T - 0.5.
-                # One (QP,T)@(T,Dh) matmul + a (QP,Dh) reduce — replaces
-                # the (QP,T) dM matmul plus two (QP,T) masked reductions
-                # (the backward's former VPU bottleneck)
-                diff = dot(M_hi - M_lo, v_l[:, h])       # (QP, Dh)
-                dloc_rows.append(
-                    (jnp.sum(dt_h * diff, axis=-1) * T)[None, None, :])
-            dvalue_levels.append(jnp.concatenate(dv_heads, axis=1))
-        # levels tile S contiguously (starts are the cumsum)
-        dvalue_ref[0] = jnp.concatenate(dvalue_levels, axis=0)
-        # rows were appended l-major then h: reorder to (H, L, QP)
-        per_l = [jnp.concatenate(dloc_rows[l * H:(l + 1) * H], axis=0)
-                 for l in range(L)]                      # each (H, 1, QP)
-        dloc_ref[0] = jnp.concatenate(per_l, axis=1)     # (H, L, QP)
+        dcw_ref[:] += dcw
+        dcb_ref[:] += dcb
+        daw_ref[:] += daw
+        dab_ref[:] += dab[None, None]
     return kernel
 
 
@@ -413,3 +472,289 @@ def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
             core, (value, loc_t, hvec),
             (ctx_w, ctx_b, alpha_w, jnp.asarray(alpha_b)))
     raise ValueError(f'unknown dsa step impl {impl!r}')
+
+
+# ----------------------------------------------------------------------------
+# Fully fused word step: sampling + attention + LSTM cell
+# ----------------------------------------------------------------------------
+#
+# The caption scan's remaining per-step HBM round trips after the
+# sample+attend fusion are the LSTM glue: ctx -> ctx @ W_ctx, the recurrent
+# h @ W_hh, and the gate chain (reference ``LSTM_DSA.py:259-261``).  This op
+# extends the kernel with the (single-layer, bias-free) LSTM cell so one
+# launch per word step reads (h, c, z0) and writes (h', c') — ctx, the gate
+# preactivations, and the gate activations never reach HBM.  The tiny
+# hidden-state projections that FEED the kernel (sampling offsets, h2att)
+# stay outside in XLA: their operands are (N, R) @ (R, <=A) matmuls that XLA
+# fuses with the loc/hvec elementwise prep, and keeping them outside lets
+# plain autodiff route their gradient contributions into dh.
+
+def dsa_lstm_step_ref(value, offsets, ref_center, offset_scale, hvec,
+                      z0, h, c, ctx_w, w_hh,
+                      ctx2att_w, ctx2att_b, alpha_w, alpha_b,
+                      temporal_shapes):
+    """Oracle: the jnp composition of sample+attend and the LSTM cell.
+
+    z0: (B, Q, 4R) input preactivation (token embedding + event-query
+    contributions, hoisted by the caller); h/c: (B, Q, R) LSTM state;
+    ctx_w: (d, 4R) context input weight; w_hh: (R, 4R) recurrent weight.
+    Returns (h_new, c_new), each (B, Q, R)."""
+    ctx = dsa_sample_attend_ref(value, offsets, ref_center, offset_scale,
+                                hvec, ctx2att_w, ctx2att_b, alpha_w, alpha_b,
+                                temporal_shapes)
+    B, Q, H, Dh = ctx.shape
+    z = z0 + ctx.reshape(B, Q, H * Dh) @ ctx_w + h @ w_hh
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _make_lstm_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
+    dot = _make_dot(precision)
+
+    def kernel(value_ref, loc_ref, hvec_ref, z0_ref, h_ref, c_ref,
+               cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref, ab_ref,
+               hout_ref, cout_ref):
+        _, _, _, ctx = _fwd_math(value_ref[0], loc_ref[0], hvec_ref[0],
+                                 cw_ref, cb_ref, aw_ref, ab_ref[0, 0],
+                                 temporal_shapes, Q, H, L, P, Dh, A, dot)
+        z = z0_ref[0] + dot(h_ref[0], whh_ref[:])
+        # (Q,H,Dh) @ (H*Dh, 4R) per head: merging (H, Dh) into the lane dim
+        # is an unsupported shape cast, so contract head by head
+        for hh in range(H):
+            z = z + dot(ctx[:, hh], cw3_ref[hh])
+        h_new, c_new = _lstm_cell_fwd(z, c_ref[0])
+        hout_ref[0] = h_new
+        cout_ref[0] = c_new
+    return kernel
+
+
+def _make_lstm_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
+    starts = _level_starts(temporal_shapes)
+    dot = _make_dot(precision)
+
+    def kernel(value_ref, loc_ref, hvec_ref, z0_ref, h_ref, c_ref,
+               cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref, ab_ref,
+               gh_ref, gc_ref,
+               dvalue_ref, dloc_ref, dhvec_ref, dz0_ref, dh_ref, dc_ref,
+               dcw3_ref, dwhh_ref, dcw_ref, dcb_ref, daw_ref, dab_ref):
+        b = pl.program_id(0)
+        value = value_ref[0]
+        loc = loc_ref[0]
+        h_prev = h_ref[0]                                # (Q, R)
+
+        # recompute the forward entirely in VMEM
+        taps, a, w, ctx = _fwd_math(value, loc, hvec_ref[0],
+                                    cw_ref, cb_ref, aw_ref, ab_ref[0, 0],
+                                    temporal_shapes, Q, H, L, P, Dh, A, dot)
+        z = z0_ref[0] + dot(h_prev, whh_ref[:])
+        for hh in range(H):
+            z = z + dot(ctx[:, hh], cw3_ref[hh])
+
+        # ---- LSTM cell backward
+        dz, dc_prev = _lstm_cell_bwd(z, c_ref[0], gh_ref[0], gc_ref[0])
+        dz0_ref[0] = dz
+        dc_ref[0] = dc_prev
+        dh_ref[0] = dot(dz, whh_ref[:].T)                # (Q, R)
+
+        @pl.when(b == 0)
+        def _():
+            dcw3_ref[:] = jnp.zeros_like(dcw3_ref)
+            dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+            dcw_ref[:] = jnp.zeros_like(dcw_ref)
+            dcb_ref[:] = jnp.zeros_like(dcb_ref)
+            daw_ref[:] = jnp.zeros_like(daw_ref)
+            dab_ref[:] = jnp.zeros_like(dab_ref)
+        dwhh_ref[:] += dot(h_prev.T, dz)
+
+        # ---- d ctx via the per-head ctx_w blocks, then d ctx_w itself
+        dctx_heads = []
+        for hh in range(H):
+            dctx_heads.append(dot(dz, cw3_ref[hh].T)[:, None])   # (Q,1,Dh)
+            dcw3_ref[hh] += dot(ctx[:, hh].T, dz)
+        dctx = jnp.concatenate(dctx_heads, axis=1)       # (Q, H, Dh)
+
+        # ---- attention + sampling backward with g = d ctx
+        dvalue, dloc, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
+            value, loc, taps, a, w, cw_ref, aw_ref, dctx, temporal_shapes,
+            starts, Q, H, L, P, Dh, A, dot)
+        dvalue_ref[0] = dvalue
+        dloc_ref[0] = dloc
+        dhvec_ref[0] = dhvec
+        dcw_ref[:] += dcw
+        dcb_ref[:] += dcb
+        daw_ref[:] += daw
+        dab_ref[:] += dab[None, None]
+    return kernel
+
+
+def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+                      cw, cb, aw, ab, temporal_shapes, Q, interpret,
+                      precision='float32', backward=False, g=None):
+    B, S, H, Dh = value.shape
+    L = len(temporal_shapes)
+    QP = loc_t.shape[-1]
+    P = QP // Q
+    A = hvec.shape[-1]
+    R = h.shape[-1]
+    f32 = jnp.float32
+    args = (value.astype(f32), loc_t.astype(f32), hvec.astype(f32),
+            z0.astype(f32), h.astype(f32), c.astype(f32),
+            ctx_w3.astype(f32), w_hh.astype(f32),
+            cw.astype(f32), cb.astype(f32)[None, :], aw.astype(f32)[None, :],
+            jnp.asarray(ab, f32).reshape(1, 1))
+    in_specs = [
+        pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, 4 * R), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, Dh, 4 * R), lambda b: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 4 * R), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dh, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if not backward:
+        h_new, c_new = pl.pallas_call(
+            _make_lstm_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
+                                  R, precision),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((B, Q, R), f32),
+                       jax.ShapeDtypeStruct((B, Q, R), f32)],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(*args)
+        return h_new.astype(h.dtype), c_new.astype(c.dtype)
+
+    gh, gc = g
+    outs = pl.pallas_call(
+        _make_lstm_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A, R,
+                              precision),
+        grid=(B,),
+        in_specs=in_specs + [
+            pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, 4 * R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Dh, 4 * R), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 4 * R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dh, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, H, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, L, QP), f32),
+            jax.ShapeDtypeStruct((B, Q, A), f32),
+            jax.ShapeDtypeStruct((B, Q, 4 * R), f32),
+            jax.ShapeDtypeStruct((B, Q, R), f32),
+            jax.ShapeDtypeStruct((B, Q, R), f32),
+            jax.ShapeDtypeStruct((H, Dh, 4 * R), f32),
+            jax.ShapeDtypeStruct((R, 4 * R), f32),
+            jax.ShapeDtypeStruct((Dh, A), f32),
+            jax.ShapeDtypeStruct((1, A), f32),
+            jax.ShapeDtypeStruct((1, A), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args, gh.astype(f32), gc.astype(f32))
+    (dv, dloc, dhvec, dz0, dh, dc, dcw3, dwhh, dcw, dcb, daw, dab) = outs
+    return (dv.astype(value.dtype), dloc.astype(loc_t.dtype),
+            dhvec.astype(hvec.dtype), dz0.astype(z0.dtype),
+            dh.astype(h.dtype), dc.astype(c.dtype),
+            dcw3.astype(ctx_w3.dtype), dwhh.astype(w_hh.dtype),
+            dcw.astype(cw.dtype), dcb[0].astype(cb.dtype),
+            daw[0].astype(aw.dtype), dab[0, 0].astype(jnp.asarray(ab).dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def _dsa_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw,
+                   ab, temporal_shapes, Q, interpret, precision):
+    return _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+                             cw, cb, aw, ab, temporal_shapes, Q, interpret,
+                             precision)
+
+
+def _dsa_lstm_core_fwd(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb,
+                       aw, ab, temporal_shapes, Q, interpret, precision):
+    out = _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+                            cw, cb, aw, ab, temporal_shapes, Q, interpret,
+                            precision)
+    return out, (value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw, ab)
+
+
+def _dsa_lstm_core_bwd(temporal_shapes, Q, interpret, precision, res, g):
+    return _pallas_lstm_core(*res, temporal_shapes, Q, interpret, precision,
+                             backward=True, g=g)
+
+
+_dsa_lstm_core.defvjp(_dsa_lstm_core_fwd, _dsa_lstm_core_bwd)
+
+
+def dsa_lstm_step(value, offsets, ref_center, offset_scale, hvec, z0, h, c,
+                  ctx_w, w_hh, ctx2att_w, ctx2att_b, alpha_w, alpha_b,
+                  temporal_shapes, impl='auto', precision='float32'):
+    """Fused DSA word step: tap sampling + additive attention + LSTM cell.
+
+    See ``dsa_lstm_step_ref`` for shapes.  impl/precision as in
+    ``dsa_sample_attend``.  Returns (h_new, c_new)."""
+    if impl == 'auto':
+        impl = 'pallas' if jax.default_backend() == 'tpu' else 'ref'
+    if impl == 'ref':
+        return dsa_lstm_step_ref(value, offsets, ref_center, offset_scale,
+                                 hvec, z0, h, c, ctx_w, w_hh, ctx2att_w,
+                                 ctx2att_b, alpha_w, alpha_b, temporal_shapes)
+    if impl in ('pallas', 'pallas_interpret'):
+        from ..parallel.op_partition import partition_batched
+        B, Q, H, L, P = offsets.shape
+        Dh = value.shape[-1]
+        R = h.shape[-1]
+        loc = (ref_center[:, :, None, :, None]
+               + offsets * offset_scale[:, :, None, :, None])
+        loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
+        ctx_w3 = ctx_w.reshape(H, Dh, 4 * R)
+
+        def core(v, lt, hv, z0_, h_, c_, cw3, whh, cw, cb, aw, ab_):
+            return _dsa_lstm_core(v, lt, hv, z0_, h_, c_, cw3, whh, cw, cb,
+                                  aw, ab_, tuple(temporal_shapes), Q,
+                                  impl == 'pallas_interpret', precision)
+        return partition_batched(
+            core, (value, loc_t, hvec, z0, h, c),
+            (ctx_w3, w_hh, ctx2att_w, ctx2att_b, alpha_w,
+             jnp.asarray(alpha_b)))
+    raise ValueError(f'unknown dsa lstm step impl {impl!r}')

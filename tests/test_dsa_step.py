@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dvc_tpu.ops.dsa_step import dsa_sample_attend, dsa_sample_attend_ref
+from dvc_tpu.ops.dsa_step import (dsa_lstm_step, dsa_lstm_step_ref,
+                                  dsa_sample_attend, dsa_sample_attend_ref)
 
 SHAPES = dict(B=3, S=24 + 12 + 6, H=2, Dh=8, Q=5, L=3, P=4, A=16,
               temporal_shapes=(24, 12, 6))
@@ -99,6 +100,123 @@ def test_bf16_precision_close_and_grads_finite():
             b, np.asarray(a), rtol=6e-2,
             atol=6e-2 * max(1e-3, float(np.abs(np.asarray(a)).max())),
             err_msg=name)
+
+
+def make_lstm_inputs(seed=0, R=24, **over):
+    args, shapes = make_inputs(seed, **over)
+    value, offsets, ref, scale, hvec, cw, cb, aw, ab = args
+    B, Q = offsets.shape[:2]
+    d = value.shape[2] * value.shape[3]                   # H * Dh
+    rng = np.random.default_rng(seed + 100)
+    z0 = (rng.standard_normal((B, Q, 4 * R)) * 0.5).astype(np.float32)
+    h = (rng.standard_normal((B, Q, R)) * 0.5).astype(np.float32)
+    c = (rng.standard_normal((B, Q, R)) * 0.5).astype(np.float32)
+    ctx_w = (rng.standard_normal((d, 4 * R)) * 0.2).astype(np.float32)
+    w_hh = (rng.standard_normal((R, 4 * R)) * 0.2).astype(np.float32)
+    full = (value, offsets, ref, scale, hvec,
+            jnp.asarray(z0), jnp.asarray(h), jnp.asarray(c),
+            jnp.asarray(ctx_w), jnp.asarray(w_hh), cw, cb, aw, ab)
+    return full, shapes
+
+
+def test_lstm_step_forward_parity():
+    args, shapes = make_lstm_inputs()
+    want_h, want_c = dsa_lstm_step_ref(*args, shapes)
+    got_h, got_c = dsa_lstm_step(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_step_gradient_parity():
+    args, shapes = make_lstm_inputs(seed=11)
+
+    def loss(impl):
+        def f(*a):
+            h_new, c_new = dsa_lstm_step(*a, shapes, impl=impl)
+            wts_h = jnp.cos(jnp.arange(h_new.size, dtype=jnp.float32)
+                            .reshape(h_new.shape))
+            wts_c = jnp.sin(jnp.arange(c_new.size, dtype=jnp.float32)
+                            .reshape(c_new.shape))
+            return jnp.sum(h_new * wts_h) + jnp.sum(c_new * wts_c)
+        return f
+
+    argnums = tuple(range(14))
+    g_ref = jax.grad(loss('ref'), argnums=argnums)(*args)
+    g_pal = jax.grad(loss('pallas_interpret'), argnums=argnums)(*args)
+    names = ['value', 'offsets', 'ref_center', 'offset_scale', 'hvec',
+             'z0', 'h', 'c', 'ctx_w', 'w_hh',
+             'ctx2att_w', 'ctx2att_b', 'alpha_w', 'alpha_b']
+    for name, a, b in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+def test_lstm_step_flagshiplike_shapes():
+    args, shapes = make_lstm_inputs(
+        seed=2, R=32, B=2, S=200 + 100 + 50 + 25, H=8, Dh=64, Q=6, L=4,
+        P=4, A=512, temporal_shapes=(200, 100, 50, 25))
+    want_h, want_c = dsa_lstm_step_ref(*args, shapes)
+    got_h, got_c = dsa_lstm_step(*args, shapes, impl='pallas_interpret')
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_head_lstm_fuse_equivalence():
+    """DSACaptionHead with lstm_fuse on/off: same math, same outputs —
+    teacher forcing logprobs, greedy tokens, and parameter gradients."""
+    from dvc_tpu.models.caption_heads import CaptionHeadConfig, DSACaptionHead
+
+    cfg = CaptionHeadConfig(vocab_size=23, input_encoding_size=12,
+                            rnn_size=16, num_layers=1, drop_prob=0.0,
+                            max_caption_len=7, hidden_dim=16,
+                            att_hid_size=20, cap_nheads=2,
+                            cap_dec_n_points=3, cap_num_feature_levels=2)
+    B, Pq, L = 2, 3, 2
+    shapes = (12, 6)
+    rng = np.random.default_rng(0)
+    query = jnp.asarray(rng.standard_normal((B, Pq, 16)), jnp.float32)
+    ref = jnp.asarray(rng.uniform(0.2, 0.8, (B, Pq, L)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.05, 0.2, (B, Pq, L)), jnp.float32)
+    memory = jnp.asarray(rng.standard_normal((B, sum(shapes), 16)),
+                         jnp.float32)
+    pad = jnp.zeros((B, sum(shapes)), bool)
+    seq = jnp.asarray(rng.integers(0, 23, (B, Pq, 7)), jnp.int32)
+
+    outs = {}
+    for fuse in (True, False):
+        head = DSACaptionHead(cfg, lstm_fuse=fuse)
+        params = head.init({'params': jax.random.PRNGKey(0)}, query, ref,
+                           scale, memory, shapes, pad, seq)
+
+        def loss(p):
+            lp = head.apply(p, query, ref, scale, memory, shapes, pad, seq)
+            return jnp.sum(lp * jnp.cos(
+                jnp.arange(lp.size, dtype=jnp.float32).reshape(lp.shape)))
+
+        tokens, lps = head.apply(params, query, ref, scale, memory, shapes,
+                                 pad, mode='sample')
+        outs[fuse] = (head.apply(params, query, ref, scale, memory, shapes,
+                                 pad, seq),
+                      jax.grad(loss)(params), tokens, lps)
+
+    lp_t, g_t, tok_t, slp_t = outs[True]
+    lp_f, g_f, tok_f, slp_f = outs[False]
+    np.testing.assert_allclose(np.asarray(lp_t), np.asarray(lp_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tok_t), np.asarray(tok_f))
+    np.testing.assert_allclose(np.asarray(slp_t), np.asarray(slp_f),
+                               rtol=1e-5, atol=1e-6)
+    flat_t = jax.tree_util.tree_leaves_with_path(g_t)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    for path, val in flat_t:
+        np.testing.assert_allclose(np.asarray(val),
+                                   np.asarray(flat_f[path]),
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_out_of_range_taps_border():

@@ -53,6 +53,37 @@ def test_dsa_gradients_sharded_including_param_psum():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_dsa_lstm_step_sharded_tuple_output():
+    """The fused sampling+attention+LSTM step returns a (h, c) tuple —
+    shard_map must split both outputs on the data axis and psum the
+    replicated weights' (ctx_w / w_hh / attention) cotangents."""
+    from dvc_tpu.ops.dsa_step import dsa_lstm_step, dsa_lstm_step_ref
+
+    from test_dsa_step import make_lstm_inputs
+    args, shapes = make_lstm_inputs(seed=9, B=8)
+
+    def loss_of(impl, mesh):
+        def f(*a):
+            h_new, c_new = dsa_lstm_step(*a, shapes, impl=impl)
+            return (jnp.sum(h_new * jnp.cos(
+                jnp.arange(h_new.size, dtype=jnp.float32)
+                .reshape(h_new.shape))) + jnp.sum(c_new ** 2))
+        # value (batched), h (batched), ctx_w / w_hh (replicated)
+        argnums = (0, 6, 8, 9)
+        if mesh is None:
+            return jax.jit(jax.value_and_grad(f, argnums=argnums))(*args)
+        with op_mesh(mesh):
+            return jax.jit(jax.value_and_grad(f, argnums=argnums))(*args)
+
+    want_v, want_g = loss_of('ref', None)
+    got_v, got_g = loss_of('pallas_interpret', make_mesh(n_data=8))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-4)
+    for w, g in zip(want_g, got_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_msda_forward_and_grads_sharded():
     rng = np.random.default_rng(11)
     B, H, Dh, Q, L, P = 8, 2, 8, 5, 2, 3
