@@ -31,6 +31,30 @@ def main():
     ensure_cpu_backend()
     import jax
 
+    # The axon backend blocks FOREVER inside backend init when the TPU
+    # tunnel is down (observed: >570s, no error, GIL held — an in-process
+    # watchdog thread cannot fire).  A hung bench would stall the whole
+    # round-end pipeline, so probe backend init in a SUBPROCESS with a
+    # timeout and bail with a diagnostic line if it never comes up.
+    init_timeout = float(os.environ.get('BENCH_INIT_TIMEOUT', '900'))
+    if (jax.config.jax_platforms or '').startswith('axon'):
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; jax.devices(); print("up")'],
+                timeout=init_timeout, check=True, capture_output=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(json.dumps({
+                'metric': 'train_throughput_videos_per_sec_per_chip',
+                'value': None, 'unit': 'videos/s', 'vs_baseline': None,
+                'error': 'TPU backend init did not complete within '
+                         f'{init_timeout:.0f}s (axon tunnel unreachable); '
+                         'no measurement taken — see BENCHMARKS.md for the '
+                         'last validated numbers',
+            }), flush=True)
+            sys.exit(3)
+
     from __graft_entry__ import _flagship_opt, _synthetic_batch
     from dvc_tpu.train import Trainer
 

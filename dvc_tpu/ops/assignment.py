@@ -22,7 +22,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+# plain numpy scalar, NOT jnp.float32(...): a module-level jnp array would
+# initialize the default JAX backend at import time (30s+ handshake on the
+# tunneled TPU; an indefinite hang when the tunnel is down)
+_INF = jnp.inf
 
 
 def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
