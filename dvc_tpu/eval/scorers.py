@@ -10,11 +10,12 @@ with the repo.  This module re-implements the published algorithms natively:
 * CIDEr: Vedantam et al. 2015 (n-gram TF-IDF, df from the gts of the call).
 * ROUGE-L: Lin 2004, beta = 1.2 (coco-caption convention).
 * METEOR: Denkowski & Lavie 2014 formulation with exact + Porter-stem +
-  paraphrase matchers and the Meteor-1.5 'en' parameters (alpha=.85,
-  beta=.2, gamma=.6, delta=.75, stem/paraphrase weight .6,
-  content/function-word distinction).  The paraphrase stage activates when
-  ``DVC_METEOR_PARAPHRASE`` points at a Meteor paraphrase table (the
-  ``paraphrase-en.gz`` artifact).  The greedy aligner approximates the
+  synonym + paraphrase matchers and the Meteor-1.5 'en' parameters
+  (alpha=.85, beta=.2, gamma=.6, delta=.75, stem/paraphrase weight .6,
+  synonym weight .8, content/function-word distinction).  The paraphrase
+  stage activates when ``DVC_METEOR_PARAPHRASE`` points at a Meteor
+  paraphrase table (the ``paraphrase-en.gz`` artifact); the synonym stage
+  when ``DVC_METEOR_WORDNET`` points at a WordNet ``dict`` directory.  The greedy aligner approximates the
   jar's beam search, so absolute values can differ slightly; if a
   ``meteor-1.5.jar`` is available set ``DVC_METEOR_JAR`` and it is used
   instead (score-parity mode), and ``tools/calibrate_meteor.py`` reports
@@ -371,6 +372,7 @@ under again further once all any both each few more most other some'''.split())
 
 _M_ALPHA, _M_BETA, _M_GAMMA, _M_DELTA = 0.85, 0.2, 0.6, 0.75
 _STEM_WEIGHT = 0.6
+_SYNONYM_WEIGHT = 0.8           # meteor-1.5 'en' matcher weight
 _PARAPHRASE_WEIGHT = 0.6        # meteor-1.5 'en' matcher weight
 
 _function_words_cache: dict = {}
@@ -460,10 +462,65 @@ def _active_paraphrase_table():
     return None
 
 
-def _meteor_align(hyp, ref, paraphrases=None):
+_synset_cache: dict = {}
+
+
+def load_wordnet_synsets(dict_dir: str):
+    """Load a WordNet ``dict`` directory's index files into a
+    lemma -> frozenset('pos:offset') map for the METEOR synonym matcher
+    (meteor-1.5's 'en' synonymy module is WordNet-derived;
+    the jar's matcher order is exact, stem, synonym, paraphrase).
+
+    Index line format (``wnintro(5)``): ``lemma pos synset_cnt p_cnt
+    [ptr_symbol...] sense_cnt tagsense_cnt synset_offset...``.
+    Multi-word lemmas (``a_posteriori``) are skipped — the matcher aligns
+    single tokens; phrases belong to the paraphrase stage.  Cached per
+    path."""
+    if dict_dir in _synset_cache:
+        return _synset_cache[dict_dir]
+    table: dict = {}
+    for fname in ('index.noun', 'index.verb', 'index.adj', 'index.adv'):
+        path = os.path.join(dict_dir, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path, encoding='utf-8', errors='replace') as f:
+            for line in f:
+                if line.startswith(' '):
+                    continue              # license header lines
+                parts = line.split()
+                if len(parts) < 7:
+                    continue
+                lemma, pos = parts[0], parts[1]
+                if '_' in lemma:
+                    continue
+                try:
+                    synset_cnt = int(parts[2])
+                    p_cnt = int(parts[3])
+                except ValueError:
+                    continue
+                offsets = parts[4 + p_cnt + 2:]
+                if len(offsets) != synset_cnt:
+                    continue
+                ids = frozenset(f'{pos}:{o}' for o in offsets)
+                prev = table.get(lemma)
+                table[lemma] = ids if prev is None else prev | ids
+    _synset_cache[dict_dir] = table
+    return table
+
+
+def _active_synonym_table():
+    """WordNet synsets via ``DVC_METEOR_WORDNET`` (a WordNet ``dict``
+    directory) when present — drop-in, zero code changes."""
+    path = os.environ.get('DVC_METEOR_WORDNET')
+    if path and os.path.isdir(path):
+        return load_wordnet_synsets(path)
+    return None
+
+
+def _meteor_align(hyp, ref, paraphrases=None, synonyms=None):
     """Greedy staged alignment (meteor-1.5 matcher order): exact, stem,
-    then paraphrase phrases, each preferring the alignment that minimizes
-    crossing (approximated by left-to-right matching).
+    synonym, then paraphrase phrases, each preferring the alignment that
+    minimizes crossing (approximated by left-to-right matching).
     Returns list of (hyp_i, ref_j, weight)."""
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
@@ -488,6 +545,23 @@ def _meteor_align(hyp, ref, paraphrases=None):
                 used_h[i] = True
                 used_r[j] = True
                 break
+    # synonym (single words sharing any WordNet synset)
+    if synonyms:
+        for i, hw in enumerate(hyp):
+            if used_h[i]:
+                continue
+            h_syn = synonyms.get(hw)
+            if not h_syn:
+                continue
+            for j, rw in enumerate(ref):
+                if used_r[j]:
+                    continue
+                r_syn = synonyms.get(rw)
+                if r_syn and not h_syn.isdisjoint(r_syn):
+                    matches.append((i, j, _SYNONYM_WEIGHT))
+                    used_h[i] = True
+                    used_r[j] = True
+                    break
     # paraphrase phrases (longest-first greedy over unmatched spans,
     # meteor-1.5's final matcher stage)
     if paraphrases:
@@ -523,10 +597,10 @@ def _meteor_align(hyp, ref, paraphrases=None):
     return sorted(matches)
 
 
-def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None):
+def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None, synonyms=None):
     if not hyp_toks or not ref_toks:
         return 0.0
-    matches = _meteor_align(hyp_toks, ref_toks, paraphrases)
+    matches = _meteor_align(hyp_toks, ref_toks, paraphrases, synonyms)
     if not matches:
         return 0.0
     fwords = _active_function_words()
@@ -585,10 +659,11 @@ def meteor_compute_score(gts, res):
     if jar and os.path.exists(jar):
         return _meteor_jar_compute_score(gts, res, jar)
     paraphrases = _active_paraphrase_table()
+    synonyms = _active_synonym_table()
     per_instance = []
     for key in gts:
         hyp = res[key][0].split()
-        best = max((_meteor_sentence(hyp, ref.split(), paraphrases)
+        best = max((_meteor_sentence(hyp, ref.split(), paraphrases, synonyms)
                     for ref in gts[key]), default=0.0)
         per_instance.append(best)
     mean = sum(per_instance) / len(per_instance) if per_instance else 0.0

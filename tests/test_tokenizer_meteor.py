@@ -120,3 +120,48 @@ def test_meteor_missing_table_falls_back(tmp_path, monkeypatch):
     mean, _ = S.meteor_compute_score(gts, res)
     expected = 1.0 - S._M_GAMMA * math.pow(1.0 / 3.0, S._M_BETA)
     assert mean == pytest.approx(expected)
+
+
+def _write_wordnet_dict(tmp_path):
+    """Minimal WordNet ``dict`` directory: real index-file field layout
+    (lemma pos synset_cnt p_cnt ptr... sense_cnt tagsense_cnt offsets)."""
+    d = tmp_path / 'dict'
+    d.mkdir()
+    (d / 'index.noun').write_text(
+        '  1 license header line\n'
+        'pot n 2 1 @ 2 1 03990474 02863750\n'
+        'saucepan n 1 1 @ 1 0 04116098\n'
+        'kettle n 1 1 @ 1 0 03990474\n'
+        'a_posteriori n 1 0 1 0 99999999\n')
+    (d / 'index.verb').write_text(
+        'cook v 1 2 @ ~ 1 1 00243900\n'
+        'prepare v 1 2 @ ~ 1 1 00243900\n')
+    return d
+
+
+def test_wordnet_synset_loader(tmp_path):
+    table = S.load_wordnet_synsets(str(_write_wordnet_dict(tmp_path)))
+    assert table['pot'] == frozenset({'n:03990474', 'n:02863750'})
+    assert not table['pot'].isdisjoint(table['kettle'])
+    assert table['pot'].isdisjoint(table['saucepan'])
+    assert not table['cook'].isdisjoint(table['prepare'])
+    # same-offset ids never collide across POS; multi-word lemmas skipped
+    assert 'a_posteriori' not in table
+
+
+def test_meteor_synonym_stage(tmp_path, monkeypatch):
+    """Synonyms (shared synset) match at weight 0.8 when the WordNet dir
+    is provided; unrelated word pairs are unaffected."""
+    d = _write_wordnet_dict(tmp_path)
+    gts = {'a': ['cook the pot'], 'b': ['wash the pan']}
+    res = {'a': ['prepare the kettle'], 'b': ['wash the cup']}
+    base_mean, base = S.meteor_compute_score(gts, res)
+    monkeypatch.setenv('DVC_METEOR_WORDNET', str(d))
+    syn_mean, syn = S.meteor_compute_score(gts, res)
+    assert syn[0] > base[0]        # cook~prepare, pot~kettle now align
+    assert syn[1] == base[1]       # no synonym coverage: unchanged
+    assert syn_mean > base_mean
+    # synonym matches score below exact matches (weight .8 < 1.0)
+    exact_mean, _ = S.meteor_compute_score({'a': ['cook the pot']},
+                                           {'a': ['cook the pot']})
+    assert syn[0] < exact_mean

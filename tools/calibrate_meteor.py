@@ -11,14 +11,17 @@ Python path's tolerance is a measured number rather than a claim.
     DVC_METEOR_JAR=/path/meteor-1.5.jar \
     [DVC_METEOR_PARAPHRASE=/path/paraphrase-en.gz] \
     [DVC_METEOR_FUNCTION_WORDS=/path/en.words] \
+    [DVC_METEOR_WORDNET=/path/wordnet/dict] \
     python tools/calibrate_meteor.py [--corpus captions.json] [-n 200]
 
-Artifact extraction (both live inside the meteor-1.5 release):
+Artifact extraction (all live inside the meteor-1.5 release):
 ``paraphrase-en.gz`` ships next to the jar in ``meteor-1.5/data/``;
 the English function-word list is a jar resource:
-``unzip -p meteor-1.5.jar function/en.words > en.words``.  With all three
-env vars set, the Python scorer consumes the jar's own data files — any
-remaining divergence is then purely the aligner's beam-vs-greedy search.
+``unzip -p meteor-1.5.jar function/en.words > en.words``; the synonym
+stage reads a standard WordNet ``dict`` directory (the jar's synonymy
+module is WordNet-derived).  With all env vars set, the Python scorer
+consumes the jar's own data files — any remaining divergence is then
+purely the aligner's beam-vs-greedy search.
 
 Corpus format: {"video": {"refs": [...], "hyp": "..."} , ...}; without
 --corpus a synthetic cooking-caption corpus is generated.
