@@ -65,6 +65,7 @@ class PDVCConfig:
     msda_boundary: str = 'zeros'
     compute_dtype: str = 'float32'
     seq_shard: bool = False
+    lstm_fuse: bool = True
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -101,6 +102,7 @@ class PDVCConfig:
             msda_boundary=getattr(opt, 'msda_boundary', 'zeros'),
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
+            lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 1)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -196,7 +198,8 @@ class PDVC(nn.Module):
                     c.msda_impl, c.msda_impl),
                 # bf16 MXU matmuls inside the fused DSA kernel follow the
                 # model-wide compute dtype (accumulation stays f32)
-                'att_precision': c.compute_dtype}
+                'att_precision': c.compute_dtype,
+                'lstm_fuse': c.lstm_fuse}
             if c.share_caption_head:
                 h = head_cls(c.caption, name='caption_head', **kwargs)
                 self.caption_heads = [h] * D

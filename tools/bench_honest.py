@@ -190,6 +190,71 @@ def bench_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
     return results
 
 
+def bench_lstm_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
+    """Standalone fully-fused word step (dsa_lstm_step: sampling +
+    attention + LSTM cell) at flagship training shapes, fwd and fwd+bwd,
+    per tanh formulation — compare against bench_kernel to see what the
+    in-kernel LSTM tail adds/saves."""
+    import jax.numpy as jnp
+
+    import dvc_tpu.ops.dsa_step as dsa_mod
+    from dvc_tpu.ops.dsa_step import dsa_lstm_step
+
+    Pq, H, L, P, A, Dh, R = 24, 8, 4, 4, 512, 64, 512
+    d = H * Dh
+    shapes = (200, 100, 50, 25)
+    ks = jax.random.split(jax.random.PRNGKey(2), 10)
+    value = jax.random.normal(ks[0], (B, sum(shapes), H, Dh))
+    offsets = jax.random.normal(ks[1], (B, Pq, H, L, P)) * 0.1
+    ref_center = jax.random.uniform(ks[2], (B, Pq, L))
+    offset_scale = jnp.full((B, Pq, L), 0.05)
+    hvec = jax.random.normal(ks[3], (B, Pq, A)) * 0.1
+    cw = jax.random.normal(ks[4], (Dh, A)) * 0.05
+    aw = jax.random.normal(ks[5], (A,)) * 0.05
+    z0 = jax.random.normal(ks[6], (B, Pq, 4 * R)) * 0.1
+    h = jax.random.normal(ks[7], (B, Pq, R)) * 0.1
+    c = jax.random.normal(ks[8], (B, Pq, R)) * 0.1
+    ctx_w = jax.random.normal(ks[9], (d, 4 * R)) * 0.05
+    w_hh = jax.random.normal(ks[0], (R, 4 * R)) * 0.05
+
+    results = {}
+    for impl in tanh_impls:
+        dsa_mod._TANH_IMPL = impl
+
+        def one(h_, off):
+            return dsa_lstm_step(value, off, ref_center, offset_scale,
+                                 hvec, z0, h_, c, ctx_w, w_hh, cw,
+                                 jnp.zeros((A,)), aw, jnp.float32(0.0),
+                                 shapes, impl='pallas')
+
+        grad_fn = jax.grad(
+            lambda h_, off: sum(jnp.sum(o ** 2) for o in one(h_, off))
+            * 1e-6, argnums=(0, 1))
+
+        @jax.jit
+        def prog_fwd(n, hv):
+            def body(i, carry):
+                hv, acc = carry
+                hn, cn = one(hv + jnp.sin(acc) * 1e-12, offsets)
+                return hv, (jnp.sum(hn) + jnp.sum(cn)) * 1e-9
+            return jax.lax.fori_loop(0, n, body, (hv, jnp.float32(0.0)))[1]
+
+        @jax.jit
+        def prog_fwdbwd(n, hv):
+            def body(i, carry):
+                hv, acc = carry
+                g_h, g_off = grad_fn(hv + jnp.sin(acc) * 1e-12, offsets)
+                return hv, jnp.sum(g_h) + jnp.sum(g_off)
+            return jax.lax.fori_loop(0, n, body, (hv, jnp.float32(0.0)))[1]
+
+        ms_f, _ = _pair(prog_fwd, n1 * 4, n2 * 4, h)
+        ms_fb, _ = _pair(prog_fwdbwd, n1 * 4, n2 * 4, h)
+        results[f'lstm_kernel_fwd_ms_{impl}'] = round(ms_f, 3)
+        results[f'lstm_kernel_fwdbwd_ms_{impl}'] = round(ms_fb, 3)
+    dsa_mod._TANH_IMPL = None
+    return results
+
+
 def bench_trunk(trainer, batch, B, n1, n2):
     """Bisect the step: full vs forward-only vs fwd+bwd (no optimizer).
     Run with --caption none to isolate the non-caption trunk."""
@@ -285,6 +350,9 @@ def main():
     ap.add_argument('--caption', default=None,
                     help='override caption_decoder_type (e.g. none, to '
                          'isolate the trunk with --what trunk)')
+    ap.add_argument('--fuse', type=int, default=None,
+                    help='override dsa_lstm_fuse (A/B the fused word step '
+                         'end-to-end: --what train,eval --fuse 0|1)')
     args = ap.parse_args()
 
     results = {'batch': args.batch, 'backend': jax.default_backend(),
@@ -295,6 +363,10 @@ def main():
         results.update(bench_kernel(args.batch, args.n1, args.n2))
         print(json.dumps(results))
         whats.remove('kernel')
+    if 'lstm' in whats:
+        results.update(bench_lstm_kernel(args.batch, args.n1, args.n2))
+        print(json.dumps(results))
+        whats.remove('lstm')
     if 'matcher' in whats:
         results.update(bench_matcher(args.batch, args.n1, args.n2))
         print(json.dumps(results))
@@ -309,6 +381,8 @@ def main():
             kw['caption_decoder_type'] = args.caption
             if args.caption == 'none':
                 kw['caption_loss_coef'] = 0.0
+        if args.fuse is not None:
+            kw['dsa_lstm_fuse'] = args.fuse
         opt = _flagship_opt(**kw)
         trainer = Trainer(opt)
         batch = _synthetic_batch(opt, B=args.batch)
