@@ -317,8 +317,13 @@ class DSACaptionHead(_CaptionHeadBase):
     att_precision: str = 'float32'
     # fuse the LSTM cell into the sample+attend kernel (one launch per word
     # step; requires num_layers == 1 and att_hid_size > 0) — same math,
-    # kept switchable for A/B tests and the multi-layer fallback
-    lstm_fuse: bool = True
+    # oracle/interpret/shard_map-tested.  Default OFF until a real-Mosaic
+    # compile + timing run (the kernel adds lane-dim split/concat and
+    # int-indexed ref stores that interpret mode cannot vouch for; same
+    # posture as ops/dsa_step.py's _TANH_DEFAULT): flip via
+    # --dsa_lstm_fuse 1 / this attr after
+    # `python tools/bench_honest.py --what lstm` succeeds on hardware
+    lstm_fuse: bool = False
 
     def _dsa_params(self):
         cfg = self.cfg

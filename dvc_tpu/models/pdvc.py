@@ -65,7 +65,7 @@ class PDVCConfig:
     msda_boundary: str = 'zeros'
     compute_dtype: str = 'float32'
     seq_shard: bool = False
-    lstm_fuse: bool = True
+    lstm_fuse: bool = False
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -102,7 +102,7 @@ class PDVCConfig:
             msda_boundary=getattr(opt, 'msda_boundary', 'zeros'),
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
-            lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 1)),
+            lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 

@@ -223,9 +223,10 @@ def _build_parser() -> argparse.ArgumentParser:
     add('--caption_scan_remat', type=int, default=0,
         help='rematerialize the caption word-scan step in the backward '
              '(only pays off without the fused attention kernel)')
-    add('--dsa_lstm_fuse', type=int, default=1,
+    add('--dsa_lstm_fuse', type=int, default=0,
         help='fuse the caption LSTM cell into the DSA sample+attend '
-             'kernel (single-layer heads; 0 = kernel + XLA glue)')
+             'kernel (single-layer heads; default off until hardware-'
+             'validated — see caption_heads.DSACaptionHead.lstm_fuse)')
     add('--caption_len_bucketing', type=int, default=1,
         help='slice caption tensors to the batch max length (exact-'
              'equivalent; fewer teacher-forcing scan steps)')
