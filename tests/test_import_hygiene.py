@@ -8,10 +8,13 @@ holds the GIL, so even watchdog threads can't recover.  A module-level
 test imports every library entry point in a clean subprocess with the
 production platform config and asserts no backend came up.
 """
+import os
 import subprocess
 import sys
 
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CODE = """
 import jax
@@ -50,7 +53,7 @@ def test_library_imports_do_not_initialize_backend():
     try:
         out = subprocess.run(
             [sys.executable, '-c', _CODE], timeout=240,
-            capture_output=True, text=True, cwd='/root/repo')
+            capture_output=True, text=True, cwd=_REPO)
     except subprocess.TimeoutExpired:
         raise AssertionError(
             'import hung — something initializes the (tunneled) backend '

@@ -61,7 +61,8 @@ def make_learnable_dataset(root, n_videos=12, feat_dim=8, n_frames=24,
 @pytest.mark.parametrize('head', ['light', 'standard'])
 def test_model_learns_captions_and_localization(tmp_path, head):
     """'light' covers the default head; 'standard' covers the flagship
-    LSTM-DSA head through the fused word step (ref impl on CPU)."""
+    LSTM-DSA head through the fused word step (dsa_lstm_fuse forced on so
+    the fused path gets end-to-end learning coverage; ref impl on CPU)."""
     anno, feats, vocab, vsize = make_learnable_dataset(str(tmp_path))
     opt = load_config(
         vocab_size=vsize, visual_feature_type='tsp', feature_dim=8,
@@ -70,6 +71,7 @@ def test_model_learns_captions_and_localization(tmp_path, head):
         dec_layers=2, transformer_ff_dim=64, num_queries=8,
         input_encoding_size=32, rnn_size=64,
         att_hid_size=0 if head == 'light' else 32,
+        dsa_lstm_fuse=0 if head == 'light' else 1,
         with_box_refine=True, caption_decoder_type=head,
         caption_loss_coef=2.0, count_loss_coef=0.5, cls_loss_coef=2.0,
         giou_loss_coef=4.0, bbox_loss_coef=0.0, set_cost_class=2,

@@ -153,6 +153,10 @@ def test_meteor_synonym_stage(tmp_path, monkeypatch):
     """Synonyms (shared synset) match at weight 0.8 when the WordNet dir
     is provided; unrelated word pairs are unaffected."""
     d = _write_wordnet_dict(tmp_path)
+    # hermetic baseline: a calibration shell may export real artifacts
+    for var in ('DVC_METEOR_WORDNET', 'DVC_METEOR_JAR',
+                'DVC_METEOR_PARAPHRASE'):
+        monkeypatch.delenv(var, raising=False)
     gts = {'a': ['cook the pot'], 'b': ['wash the pan']}
     res = {'a': ['prepare the kettle'], 'b': ['wash the cup']}
     base_mean, base = S.meteor_compute_score(gts, res)

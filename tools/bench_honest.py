@@ -203,7 +203,7 @@ def bench_lstm_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
     Pq, H, L, P, A, Dh, R = 24, 8, 4, 4, 512, 64, 512
     d = H * Dh
     shapes = (200, 100, 50, 25)
-    ks = jax.random.split(jax.random.PRNGKey(2), 10)
+    ks = jax.random.split(jax.random.PRNGKey(2), 11)
     value = jax.random.normal(ks[0], (B, sum(shapes), H, Dh))
     offsets = jax.random.normal(ks[1], (B, Pq, H, L, P)) * 0.1
     ref_center = jax.random.uniform(ks[2], (B, Pq, L))
@@ -215,7 +215,7 @@ def bench_lstm_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
     h = jax.random.normal(ks[7], (B, Pq, R)) * 0.1
     c = jax.random.normal(ks[8], (B, Pq, R)) * 0.1
     ctx_w = jax.random.normal(ks[9], (d, 4 * R)) * 0.05
-    w_hh = jax.random.normal(ks[0], (R, 4 * R)) * 0.05
+    w_hh = jax.random.normal(ks[10], (R, 4 * R)) * 0.05
 
     results = {}
     for impl in tanh_impls:

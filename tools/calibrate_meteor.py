@@ -96,6 +96,8 @@ def main():
             sum(diffs) / max(len(diffs), 1), 6),
         'per_caption_max_abs_divergence': round(max(diffs, default=0.0), 6),
         'paraphrase_table': os.environ.get('DVC_METEOR_PARAPHRASE') or None,
+        'wordnet_dict': os.environ.get('DVC_METEOR_WORDNET') or None,
+        'function_words': os.environ.get('DVC_METEOR_FUNCTION_WORDS') or None,
     }
     print(json.dumps(report, indent=2))
     return 0
