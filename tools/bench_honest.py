@@ -28,6 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402  (registration only — no backend init at import)
+
 
 def _timed_value(fn, *args):
     t0 = time.perf_counter()
@@ -395,5 +397,4 @@ def main():
 
 
 if __name__ == '__main__':
-    import jax
     main()

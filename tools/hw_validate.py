@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""One-command hardware-validation run for the pending kernel decisions.
+
+The TPU on this box is reached through a tunnel that can drop mid-run, so
+every stage appends its own JSON line to the report file the moment it
+finishes — a dropped tunnel preserves partial results.  Run it whenever
+the tunnel is up:
+
+    python tools/hw_validate.py [--out HW_VALIDATION.jsonl] [--batch 16]
+                                [--stages kernel,lstm,ab,trunk,matcher,post]
+
+Stages (all in one process; in-graph two-point protocol throughout):
+  kernel   sample+attend kernel fwd / fwd+bwd, native vs rational tanh
+  lstm     fully fused word step (dsa_lstm_step), native vs rational tanh
+  ab       end-to-end train + eval step, lstm_fuse off vs on
+  trunk    full vs fwd vs fwd+bwd bisect
+  matcher  vmapped JV solves at flagship shapes
+  post     device-side postprocess
+
+Prints flip recommendations at the end:
+  - _TANH_DEFAULT -> 'rational' in dvc_tpu/ops/dsa_step.py if it wins
+  - --dsa_lstm_fuse / DSACaptionHead.lstm_fuse / PDVCConfig defaults -> on
+    if the fused step wins end-to-end
+Then update BENCHMARKS.md with the new table rows and re-run bench.py.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def probe_backend(timeout):
+    """Backend init hangs forever (GIL held) when the tunnel is down —
+    probe in a subprocess first (same pattern as bench.py)."""
+    try:
+        subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices(); print("up")'],
+            timeout=timeout, check=True, capture_output=True)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='HW_VALIDATION.jsonl')
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--n1', type=int, default=8)
+    ap.add_argument('--n2', type=int, default=24)
+    ap.add_argument('--stages', default='kernel,lstm,ab,trunk,matcher,post')
+    ap.add_argument('--probe-timeout', type=float, default=600)
+    args = ap.parse_args()
+
+    if not probe_backend(args.probe_timeout):
+        print(json.dumps({'error': 'TPU backend unreachable — tunnel down; '
+                                   'nothing measured'}))
+        return 3
+
+    import jax
+    from tools import bench_honest as bh
+
+    def emit(stage, payload):
+        line = {'stage': stage, 'backend': jax.default_backend(),
+                'batch': args.batch,
+                'protocol': f'in-graph fori diff N{args.n1}/N{args.n2}',
+                **payload}
+        with open(args.out, 'a') as f:
+            f.write(json.dumps(line) + '\n')
+        print(json.dumps(line), flush=True)
+        return line
+
+    stages = [s.strip() for s in args.stages.split(',')]
+    results = {}
+    t0 = time.time()
+
+    if 'kernel' in stages:
+        results['kernel'] = emit('kernel', bh.bench_kernel(
+            args.batch, args.n1, args.n2))
+    if 'lstm' in stages:
+        results['lstm'] = emit('lstm', bh.bench_lstm_kernel(
+            args.batch, args.n1, args.n2))
+
+    if 'ab' in stages or 'trunk' in stages or 'matcher' in stages \
+            or 'post' in stages:
+        from __graft_entry__ import _flagship_opt, _synthetic_batch
+        from dvc_tpu.train import Trainer
+
+        def build(fuse):
+            opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
+                                tpu_mesh_data=1, dsa_lstm_fuse=fuse)
+            tr = Trainer(opt)
+            return tr, _synthetic_batch(opt, B=args.batch)
+
+        if 'ab' in stages:
+            for fuse in (0, 1):
+                tr, batch = build(fuse)
+                row = {}
+                row.update(bh.bench_train(tr, batch, args.batch,
+                                          args.n1, args.n2))
+                row.update(bh.bench_eval(tr, batch, args.batch,
+                                         args.n1, args.n2))
+                results[f'ab_fuse{fuse}'] = emit(f'ab_fuse{fuse}', row)
+        tr, batch = build(0)
+        if 'trunk' in stages:
+            results['trunk'] = emit('trunk', bh.bench_trunk(
+                tr, batch, args.batch, args.n1, args.n2))
+        if 'matcher' in stages:
+            results['matcher'] = emit('matcher', bh.bench_matcher(
+                args.batch, args.n1, args.n2))
+        if 'post' in stages:
+            results['post'] = emit('post', bh.bench_post(
+                tr, batch, args.batch, args.n1, args.n2))
+
+    # ---- recommendations
+    rec = {}
+    k = results.get('kernel', {})
+    if 'kernel_fwdbwd_ms_rational' in k:
+        rec['tanh_rational_wins'] = bool(
+            k['kernel_fwdbwd_ms_rational'] < 0.95 *
+            k['kernel_fwdbwd_ms_native'])
+    a0 = results.get('ab_fuse0', {})
+    a1 = results.get('ab_fuse1', {})
+    if 'train_step_ms' in a0 and 'train_step_ms' in a1:
+        rec['lstm_fuse_wins_train'] = bool(
+            a1['train_step_ms'] < 0.97 * a0['train_step_ms'])
+        rec['lstm_fuse_wins_eval'] = bool(
+            a1['eval_step_ms'] < 0.97 * a0['eval_step_ms'])
+    rec['wall_s'] = round(time.time() - t0, 1)
+    emit('recommendations', rec)
+    if rec.get('tanh_rational_wins'):
+        print("FLIP: set _TANH_DEFAULT = 'rational' in dvc_tpu/ops/"
+              "dsa_step.py")
+    if rec.get('lstm_fuse_wins_train'):
+        print('FLIP: default dsa_lstm_fuse on (config.py, PDVCConfig, '
+              'DSACaptionHead.lstm_fuse)')
+    print('Update BENCHMARKS.md with the new rows and re-run bench.py.')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
