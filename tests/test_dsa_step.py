@@ -165,6 +165,7 @@ def test_lstm_step_flagshiplike_shapes():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_head_lstm_fuse_equivalence():
     """DSACaptionHead with lstm_fuse on/off: same math, same outputs —
     teacher forcing logprobs, greedy tokens, and parameter gradients."""
