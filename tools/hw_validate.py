@@ -78,12 +78,23 @@ def main():
     results = {}
     t0 = time.time()
 
+    def run_stage(name, fn):
+        """A Mosaic compile rejection in one stage (the fused kernels'
+        first real-hardware compile happens HERE) must not lose the
+        others — record the error and keep going."""
+        try:
+            results[name] = emit(name, fn())
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            emit(name, {'error': f'{type(e).__name__}: {e}',
+                        'traceback': traceback.format_exc()[-2000:]})
+
     if 'kernel' in stages:
-        results['kernel'] = emit('kernel', bh.bench_kernel(
-            args.batch, args.n1, args.n2))
+        run_stage('kernel',
+                  lambda: bh.bench_kernel(args.batch, args.n1, args.n2))
     if 'lstm' in stages:
-        results['lstm'] = emit('lstm', bh.bench_lstm_kernel(
-            args.batch, args.n1, args.n2))
+        run_stage('lstm',
+                  lambda: bh.bench_lstm_kernel(args.batch, args.n1, args.n2))
 
     if 'ab' in stages or 'trunk' in stages or 'matcher' in stages \
             or 'post' in stages:
@@ -98,22 +109,24 @@ def main():
 
         if 'ab' in stages:
             for fuse in (0, 1):
-                tr, batch = build(fuse)
-                row = {}
-                row.update(bh.bench_train(tr, batch, args.batch,
-                                          args.n1, args.n2))
-                row.update(bh.bench_eval(tr, batch, args.batch,
-                                         args.n1, args.n2))
-                results[f'ab_fuse{fuse}'] = emit(f'ab_fuse{fuse}', row)
+                def ab():
+                    tr, batch = build(fuse)
+                    row = {}
+                    row.update(bh.bench_train(tr, batch, args.batch,
+                                              args.n1, args.n2))
+                    row.update(bh.bench_eval(tr, batch, args.batch,
+                                             args.n1, args.n2))
+                    return row
+                run_stage(f'ab_fuse{fuse}', ab)
         tr, batch = build(0)
         if 'trunk' in stages:
-            results['trunk'] = emit('trunk', bh.bench_trunk(
+            run_stage('trunk', lambda: bh.bench_trunk(
                 tr, batch, args.batch, args.n1, args.n2))
         if 'matcher' in stages:
-            results['matcher'] = emit('matcher', bh.bench_matcher(
+            run_stage('matcher', lambda: bh.bench_matcher(
                 args.batch, args.n1, args.n2))
         if 'post' in stages:
-            results['post'] = emit('post', bh.bench_post(
+            run_stage('post', lambda: bh.bench_post(
                 tr, batch, args.batch, args.n1, args.n2))
 
     # ---- recommendations
