@@ -115,6 +115,17 @@ def _kernel_tanh(x):
     return num / den
 
 
+def _kernel_sigmoid(x):
+    """Gate sigmoid through the same selectable formulation:
+    sigmoid(x) = 0.5 + 0.5*tanh(x/2), so DVC_DSA_TANH=rational also lifts
+    the LSTM gates off Mosaic's exp-based logistic.  'native' returns the
+    stock op (bit-identical to the validated default path)."""
+    impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', _TANH_DEFAULT)
+    if impl == 'native':
+        return jax.nn.sigmoid(x)
+    return 0.5 + 0.5 * _kernel_tanh(x * 0.5)
+
+
 def _make_dot(precision):
     """MXU matmul in the requested multiply precision (f32 accumulate).
     'bfloat16' casts both operands — ~3-4x faster on the MXU (one pass vs
@@ -253,9 +264,9 @@ def _lstm_cell_fwd(z, c_prev):
     """z: (..., 4R) preactivation in torch gate order (i, f, g, o);
     c_prev: (..., R).  Returns (h_new, c_new)."""
     i, f, g, o = jnp.split(z, 4, axis=-1)
-    c_new = (jax.nn.sigmoid(f) * c_prev
-             + jax.nn.sigmoid(i) * _kernel_tanh(g))
-    h_new = jax.nn.sigmoid(o) * _kernel_tanh(c_new)
+    c_new = (_kernel_sigmoid(f) * c_prev
+             + _kernel_sigmoid(i) * _kernel_tanh(g))
+    h_new = _kernel_sigmoid(o) * _kernel_tanh(c_new)
     return h_new, c_new
 
 
@@ -263,9 +274,9 @@ def _lstm_cell_bwd(z, c_prev, gh, gc):
     """Backward of ``_lstm_cell_fwd`` recomputing gates from (z, c_prev).
     Returns (dz, dc_prev)."""
     i, f, g, o = jnp.split(z, 4, axis=-1)
-    si = jax.nn.sigmoid(i)
-    sf = jax.nn.sigmoid(f)
-    so = jax.nn.sigmoid(o)
+    si = _kernel_sigmoid(i)
+    sf = _kernel_sigmoid(f)
+    so = _kernel_sigmoid(o)
     tg = _kernel_tanh(g)
     c_new = sf * c_prev + si * tg
     th = _kernel_tanh(c_new)

@@ -220,6 +220,59 @@ def test_head_lstm_fuse_equivalence():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_rational_tanh_and_sigmoid_accuracy():
+    """The 13/6-degree rational tanh must match jnp.tanh to ~4e-7 max abs
+    error over the full range (documented 3.6e-7), and the derived sigmoid
+    to the same order; 'native' must be the stock ops exactly."""
+    import dvc_tpu.ops.dsa_step as dsa_mod
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
+    try:
+        dsa_mod._TANH_IMPL = 'rational'
+        t_err = np.abs(np.asarray(dsa_mod._kernel_tanh(x))
+                       - np.tanh(np.asarray(x)))
+        s_err = np.abs(np.asarray(dsa_mod._kernel_sigmoid(x))
+                       - np.asarray(jax.nn.sigmoid(x)))
+        assert t_err.max() < 5e-7, t_err.max()
+        assert s_err.max() < 5e-7, s_err.max()
+        dsa_mod._TANH_IMPL = 'native'
+        np.testing.assert_array_equal(np.asarray(dsa_mod._kernel_tanh(x)),
+                                      np.asarray(jnp.tanh(x)))
+        np.testing.assert_array_equal(
+            np.asarray(dsa_mod._kernel_sigmoid(x)),
+            np.asarray(jax.nn.sigmoid(x)))
+    finally:
+        dsa_mod._TANH_IMPL = None
+
+
+def test_rational_tanh_full_op_parity():
+    """The rational formulation must hold the op-level parity tolerances
+    unchanged — attention (sample+attend) and the fused LSTM step, fwd and
+    a gradient probe."""
+    import dvc_tpu.ops.dsa_step as dsa_mod
+    args, shapes = make_inputs(seed=13)
+    largs, lshapes = make_lstm_inputs(seed=13)
+    try:
+        dsa_mod._TANH_IMPL = 'rational'
+        got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+        gh, gc = dsa_lstm_step(*largs, lshapes, impl='pallas_interpret')
+        g = jax.grad(lambda v: jnp.sum(dsa_sample_attend(
+            v, *args[1:], shapes, impl='pallas_interpret') ** 2))(args[0])
+    finally:
+        dsa_mod._TANH_IMPL = None
+    want = dsa_sample_attend_ref(*args, shapes)
+    wh, wc = dsa_lstm_step_ref(*largs, lshapes)
+    g_ref = jax.grad(lambda v: jnp.sum(dsa_sample_attend_ref(
+        v, *args[1:], shapes) ** 2))(args[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(wh),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(wc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
+
+
 def test_out_of_range_taps_border():
     """Locations pushed far out of range must follow border semantics and
     give zero location-gradient there."""
