@@ -220,6 +220,30 @@ def test_head_lstm_fuse_equivalence():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_lstm_step_bf16_precision():
+    """precision='bfloat16' on the fused LSTM step must track f32 within
+    bf16 mantissa tolerance with finite gradients (mirrors the attention
+    op's bf16 test)."""
+    args, shapes = make_lstm_inputs(seed=17)
+    want_h, want_c = dsa_lstm_step_ref(*args, shapes)
+    got_h, got_c = dsa_lstm_step(*args, shapes, impl='pallas_interpret',
+                                 precision='bfloat16')
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(*a):
+        h_new, c_new = dsa_lstm_step(*a, shapes, impl='pallas_interpret',
+                                     precision='bfloat16')
+        return jnp.sum(h_new ** 2) + jnp.sum(c_new ** 2)
+
+    g = jax.grad(loss, argnums=(0, 6, 8, 9))(*args)
+    for name, arr in zip(['value', 'h', 'ctx_w', 'w_hh'], g):
+        arr = np.asarray(arr)
+        assert np.all(np.isfinite(arr)), name
+
+
 def test_rational_tanh_and_sigmoid_accuracy():
     """The 13/6-degree rational tanh must match jnp.tanh to ~4e-7 max abs
     error over the full range (documented 3.6e-7), and the derived sigmoid
