@@ -11,21 +11,32 @@ this as several HBM-bound ops per scan step; honest profiling puts the
 sampling alone at ~20 ms of the 48 ms flagship train step (19 steps,
 fwd+bwd).  This op fuses the whole block per batch-row grid cell:
 
-    loc   = ref[:, l] + offsets[:, h, l, p] * scale[:, l]   (outside, XLA)
-    taps  = border-mode linear interp of value at loc      (one-hot matmuls)
+    pos   = (ref[:, l] + offsets * scale) · T_l - 0.5            (outside)
+    taps  = border-mode linear interp of value at pos      (one-hot matmuls)
     u     = tanh(taps @ Wc + bc + hvec)                    (additive attn)
     w     = softmax_lp(u @ alpha + ab)
     ctx   = sum_lp w * taps
 
 so taps / one-hots / the (·, LP, A) tanh activation only ever live in VMEM.
-The custom-VJP boundary sits at (value, loc, hvec, attention params): the
+The custom-VJP boundary sits at (value, pos, hvec, attention params): the
 backward kernel recomputes everything in VMEM and emits analytic gradients
 (validated against ``jax.vjp`` of the jnp composition); the offsets/ref/
-scale -> loc chain stays outside under plain autodiff (tiny elementwise).
+scale -> pos chain stays outside under plain autodiff (tiny elementwise).
 
-Mosaic layout note: locations enter the kernel pre-flattened as
-(B, H, L, Q*P) so every in-kernel reshape merges/splits *major* dims only —
-lane-dim shape casts are unsupported on TPU.
+Level-merged layout (the round-3 restructure): the per-(level, head) loop
+of tiny (Q·P, T_l) matmuls serialized ~100 sub-tile MXU ops per grid cell
+and was the train step's largest backward slice.  Locations are now
+pre-converted OUTSIDE the kernel to flat level-relative positions
+(pos = loc·T_l - 0.5, flattened (q, l, p); per-element clamp bounds and
+integer level starts baked from the static level table — the start shifts
+the integer index only, so the f32 lerp weights are bit-identical to the
+per-level formulation), and the kernel builds one vectorized (H, Q·L·P, S)
+one-hot pair over the whole S axis and runs ONE well-shaped
+(Q·L·P, S) @ (S, Dh) matmul per head — 8 MXU ops instead of 32, each 4x
+larger.  The (q, l, p) flatten order means the per-head taps split straight
+into the attention's (Q, L·P, Dh) layout with major-dim reshapes only
+(lane-dim shape casts are unsupported on TPU).  Value rides as
+(B, H, S, Dh) so per-head slices and per-head dvalue stores are contiguous.
 
 Only ``mode='border'`` is implemented — the caption path always uses the
 reference's grid_sample border semantics (``ms_deform_attn_func.py:58-59``).
@@ -38,16 +49,17 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ms_deform_attn import _level_starts, _tap_indices_weights
+from .ms_deform_attn import _level_starts
 
-# the backward's per-cell working set ((Q, H, LP, A) attention
-# intermediates) exceeds Mosaic's 16 MB default scoped-vmem budget at the
-# flagship A=512, and the fused-LSTM eval path (Q=Nq=100 greedy queries,
-# ~26 MB of tanh activations + ~9 MB of resident ctx_w/w_hh blocks) can
-# brush past 64 MB; v5e has 128 MB of VMEM — allow 3/4 of it
+# the backward's per-cell working set ((H, LP, Q, A) attention
+# intermediates plus the (H, QLP, S) one-hot pair) exceeds Mosaic's 16 MB
+# default scoped-vmem budget at the flagship A=512, and the fused-LSTM eval
+# path (Q=Nq=100 greedy queries) can brush past 64 MB; v5e has 128 MB of
+# VMEM — allow 3/4 of it
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
@@ -78,16 +90,14 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # ----------------------------------------------------------------------------
 
 # Mosaic lowers jnp.tanh through an exp-based form (~30 VPU ops/element);
-# the (Q·H·LP, A) tanh activation is the kernel's VPU roofline (fwd drops
-# 0.22 ms -> 0.03 ms without it).  The 'rational' impl is the 13/6-degree
-# rational approximation (Eigen/XLA's float tanh: ~12 FMA + 1 divide); it
-# matches tanh to 3.6e-7 max abs error over the full range — below f32 ulp
-# noise for this op, so the parity tests hold unchanged.  Select with
-# DVC_DSA_TANH=native|rational (read at trace time; the module variable
-# overrides the env for tests).  Default is 'native' until the rational
-# form gets a real-Mosaic validation + timing run (the TPU tunnel was down
-# when it landed): `python tools/bench_honest.py --what kernel`, then flip
-# _TANH_DEFAULT if it wins.
+# the 'rational' impl is the 13/6-degree rational approximation
+# (Eigen/XLA's float tanh: ~12 FMA + 1 divide); it matches tanh to 3.6e-7
+# max abs error over the full range — below f32 ulp noise for this op, so
+# the parity tests hold unchanged.  Select with DVC_DSA_TANH=native|rational
+# (read at trace time; the module variable overrides the env for tests).
+# 'native' is the hardware-validated default: on the real v5e Mosaic's
+# native tanh beat the rational form 4x on the fused forward
+# (HW_VALIDATION.jsonl stage 'kernel').
 _TANH_IMPL = None
 _TANH_DEFAULT = 'native'
 
@@ -140,120 +150,117 @@ def _make_dot(precision):
     return dot
 
 
-def _interp_mats(loc_hl, T):
-    """loc_hl: (QP,) normalized locations for one (head, level).
-    Returns (M, M_lo, M_hi): M (QP, T) interp one-hot-pair matrix plus the
-    raw lo/hi one-hots (the backward's location gradient is a matmul with
-    their difference)."""
-    pos = loc_hl * T - 0.5
+def _bounds_np(temporal_shapes, Q, P):
+    """Per-(q, l, p) flat vectors: level-relative clamp bound (T_l - 1) and
+    integer level start — static functions of the level table, baked at
+    trace time.  Positions stay level-relative in f32 (floor/lerp exactly
+    as the per-level formulation — adding the start before floor would
+    cost ulps at large S); the start shifts the *integer* index only."""
+    starts = _level_starts(temporal_shapes)
+    L = len(temporal_shapes)
+    hib = np.zeros((Q, L, P), np.float32)
+    s0v = np.zeros((Q, L, P), np.int32)
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        hib[:, l, :] = T - 1
+        s0v[:, l, :] = s0
+    return hib.reshape(-1), s0v.reshape(-1)
+
+
+def _level_pos(loc, temporal_shapes):
+    """loc: (B, Q, H, L, P) normalized per-level locations -> level-relative
+    continuous positions (B, H, Q·L·P) in (q, l, p) order: pos = loc·T_l
+    - 0.5 (the level start is applied to the integer index in-kernel)."""
+    B, Q, H, L, P = loc.shape
+    t_vec = jnp.asarray(temporal_shapes, loc.dtype)
+    pos = loc * t_vec[None, None, None, :, None] - 0.5
+    return pos.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * L * P)
+
+
+def _interp_onehots(pos, hib, s0v, S):
+    """pos: (H, N) level-relative positions; hib: (1, N) relative clamp
+    bound (T_l - 1); s0v: (1, N) int32 level starts.
+    Returns (M, M_lo, M_hi), each (H, N, S): the lerp one-hot pair and
+    their weighted sum.  Vectorized over heads — one iota/compare build
+    for the whole cell."""
+    H, N = pos.shape
     i_lo = jnp.floor(pos)
     w_hi = pos - i_lo
     w_lo = 1.0 - w_hi
-    idx_lo = jnp.clip(i_lo, 0, T - 1).astype(jnp.int32)
-    idx_hi = jnp.clip(i_lo + 1.0, 0, T - 1).astype(jnp.int32)
-    QP = loc_hl.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (QP, T), 1)
-    M_lo = (idx_lo[:, None] == iota).astype(jnp.float32)
-    M_hi = (idx_hi[:, None] == iota).astype(jnp.float32)
-    M = w_lo[:, None] * M_lo + w_hi[:, None] * M_hi
+    idx_lo = jnp.clip(i_lo, 0.0, hib).astype(jnp.int32) + s0v
+    idx_hi = jnp.clip(i_lo + 1.0, 0.0, hib).astype(jnp.int32) + s0v
+    iota = jax.lax.broadcasted_iota(jnp.int32, (H, N, S), 2)
+    M_lo = (idx_lo[..., None] == iota).astype(jnp.float32)
+    M_hi = (idx_hi[..., None] == iota).astype(jnp.float32)
+    M = w_lo[..., None] * M_lo + w_hi[..., None] * M_hi
     return M, M_lo, M_hi
 
 
-def _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh, dot):
-    """value: (S, H, Dh); loc: (H, L, QP).  Returns taps (Q, H, L, P, Dh)
-    and the per-(l,h) interp matrices for the backward."""
-    starts = _level_starts(temporal_shapes)
-    taps_levels = []
-    Ms = {}
-    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
-        v_l = value[s0:s0 + T]                           # (T, H, Dh)
-        heads = []
-        for h in range(H):
-            M, _, _ = _interp_mats(loc[h, l], T)
-            Ms[(l, h)] = M
-            t_h = dot(M, v_l[:, h])                      # (QP, Dh)
-            heads.append(t_h.reshape(Q, P, Dh)[:, None])  # (Q, 1, P, Dh)
-        taps_levels.append(jnp.concatenate(heads, axis=1))  # (Q, H, P, Dh)
-    taps = jnp.stack(taps_levels, axis=2)                # (Q, H, L, P, Dh)
-    return taps, Ms
+def _taps_from_M(M, value, H, dot):
+    """M: (H, N, S); value: (H, S, Dh).  One (N, S) @ (S, Dh) per head."""
+    return jnp.stack([dot(M[h], value[h]) for h in range(H)])  # (H, N, Dh)
 
 
-def _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, L, P, Dh,
+def _attention_fwd(taps4, hvec, cw_ref, cb_ref, aw_ref, ab, Q, H, LP, Dh,
                    A, dot):
-    tflat = taps.reshape(Q * H * L * P, Dh)
-    u = (dot(tflat, cw_ref[:])
-         .reshape(Q, H, L * P, A)
+    """taps4: (H, Q, LP, Dh); hvec: (Q, A).  Returns (a, w):
+    a (H, Q, LP, A) tanh activations, w (H, Q, LP) softmax weights."""
+    u = (dot(taps4.reshape(H * Q * LP, Dh), cw_ref[:])
+         .reshape(H, Q, LP, A)
          + cb_ref[0][None, None, None, :]
-         + hvec[:, None, None, :])
+         + hvec[None, :, None, :])
     a = _kernel_tanh(u)
-    dot = jnp.sum(a * aw_ref[0][None, None, None, :], axis=-1) + ab
-    dot = dot - jnp.max(dot, axis=-1, keepdims=True)
-    e = jnp.exp(dot)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)           # (Q, H, LP)
-    return u, a, w
+    d = jnp.sum(a * aw_ref[0][None, None, None, :], axis=-1) + ab
+    d = d - jnp.max(d, axis=-1, keepdims=True)
+    e = jnp.exp(d)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)           # (H, Q, LP)
+    return a, w
 
 
-def _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref, ab, temporal_shapes,
-              Q, H, L, P, Dh, A, dot):
-    """Shared forward: taps + additive attention + context reduction."""
-    taps, _ = _compute_taps(value, loc, temporal_shapes, Q, H, L, P, Dh, dot)
-    _, a, w = _attention_fwd(taps, hvec, cw_ref, cb_ref, aw_ref, ab,
-                             Q, H, L, P, Dh, A, dot)
-    ctx = jnp.sum(w.reshape(Q, H, L * P, 1)
-                  * taps.reshape(Q, H, L * P, Dh), axis=2)
-    return taps, a, w, ctx
+def _fwd_math(value, pos, hib, s0v, hvec, cw_ref, cb_ref, aw_ref, ab,
+              S, Q, H, LP, Dh, A, dot):
+    """Shared forward: interp one-hots + taps + additive attention + ctx.
+    value: (H, S, Dh); pos: (H, Q·LP).  Returns (taps4, a, w, ctx, Ms)
+    with ctx (H, Q, Dh) and Ms = (M, M_lo, M_hi) for backward reuse."""
+    Ms = _interp_onehots(pos, hib, s0v, S)
+    taps = _taps_from_M(Ms[0], value, H, dot)            # (H, QLP, Dh)
+    taps4 = taps.reshape(H, Q, LP, Dh)
+    a, w = _attention_fwd(taps4, hvec, cw_ref, cb_ref, aw_ref, ab,
+                          Q, H, LP, Dh, A, dot)
+    ctx = jnp.sum(w[..., None] * taps4, axis=2)          # (H, Q, Dh)
+    return taps4, a, w, ctx, Ms
 
 
-def _attn_bwd_from_g(value, loc, taps, a, w, cw_ref, aw_ref, g,
-                     temporal_shapes, starts, Q, H, L, P, Dh, A, dot):
-    """Backward of (sampling + attention) given g = d ctx (Q, H, Dh).
+def _attn_bwd_from_g(value, taps4, a, w, Ms, cw_ref, aw_ref, g,
+                     Q, H, LP, Dh, A, dot):
+    """Backward of (sampling + attention) given g = d ctx (H, Q, Dh).
 
-    Returns value grads (dvalue, dloc, dhvec) plus attention weight grads
-    as plain values (dcw, dcb, daw, dab) — callers own ref accumulation."""
-    tflat = taps.reshape(Q, H, L * P, Dh)
+    Returns (dvalue (H, S, Dh), dpos (H, Q·LP), dhvec (Q, A)) plus the
+    attention weight grads as plain values — callers own ref accumulation."""
+    M, M_lo, M_hi = Ms
 
     # ---- attention backward (ctx = sum_p w_p t_p)
-    dw = jnp.sum(tflat * g[:, :, None, :], axis=-1)      # (Q, H, LP)
-    dtaps = w[..., None] * g[:, :, None, :]              # (Q, H, LP, Dh)
+    dw = jnp.sum(taps4 * g[:, :, None, :], axis=-1)      # (H, Q, LP)
+    dtaps = w[..., None] * g[:, :, None, :]              # (H, Q, LP, Dh)
     ddot = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
     da = ddot[..., None] * aw_ref[0][None, None, None, :]
-    du = da * (1.0 - a * a)                              # (Q, H, LP, A)
+    du = da * (1.0 - a * a)                              # (H, Q, LP, A)
     dtaps = dtaps + dot(
-        du.reshape(Q * H * L * P, A), cw_ref[:].T).reshape(
-            Q, H, L * P, Dh)
-    dhvec = jnp.sum(du, axis=(1, 2))                     # (Q, A)
-    dcw = dot(tflat.reshape(Q * H * L * P, Dh).T,
-              du.reshape(Q * H * L * P, A))
+        du.reshape(H * Q * LP, A), cw_ref[:].T).reshape(H, Q, LP, Dh)
+    dhvec = jnp.sum(du, axis=(0, 2))                     # (Q, A)
+    dcw = dot(taps4.reshape(H * Q * LP, Dh).T,
+              du.reshape(H * Q * LP, A))
     dcb = jnp.sum(du, axis=(0, 1, 2))[None, :]
     daw = jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
     dab = jnp.sum(ddot)
 
-    # ---- sampling backward, per level / head
-    dtaps5 = dtaps.reshape(Q, H, L, P, Dh)
-    dvalue_levels = []
-    dloc_rows = []                                       # per (h, l)
-    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
-        v_l = value[s0:s0 + T]
-        dv_heads = []
-        for h in range(H):
-            M, M_lo, M_hi = _interp_mats(loc[h, l], T)
-            dt_h = dtaps5[:, h, l].reshape(Q * P, Dh)
-            dv_heads.append(dot(M.T, dt_h)[:, None])
-            # d tap / d pos = v[idx_hi] - v[idx_lo]; pos = loc*T - 0.5.
-            # One (QP,T)@(T,Dh) matmul + a (QP,Dh) reduce — replaces
-            # the (QP,T) dM matmul plus two (QP,T) masked reductions
-            # (the backward's former VPU bottleneck)
-            diff = dot(M_hi - M_lo, v_l[:, h])           # (QP, Dh)
-            dloc_rows.append(
-                (jnp.sum(dt_h * diff, axis=-1) * T)[None, None, :])
-        dvalue_levels.append(jnp.concatenate(dv_heads, axis=1))
-    # levels tile S contiguously (starts are the cumsum)
-    dvalue = jnp.concatenate(dvalue_levels, axis=0)
-    # rows were appended l-major then h: reorder to (H, L, QP)
-    per_l = [jnp.concatenate(dloc_rows[l * H:(l + 1) * H], axis=0)
-             for l in range(L)]                          # each (H, 1, QP)
-    dloc = jnp.concatenate(per_l, axis=1)                # (H, L, QP)
-    return dvalue, dloc, dhvec, dcw, dcb, daw, dab
+    # ---- sampling backward: per head, two well-shaped matmuls.
+    # d tap / d pos = v[idx_hi] - v[idx_lo]  (border clamp -> 0 at edges);
+    # dvalue_h = M_h^T @ dtaps_h rides the same one-hot pair.
+    dtapsf = dtaps.reshape(H, Q * LP, Dh)
+    dvalue = jnp.stack([dot(M[h].T, dtapsf[h]) for h in range(H)])
+    diff = jnp.stack([dot(M_hi[h] - M_lo[h], value[h]) for h in range(H)])
+    dpos = jnp.sum(dtapsf * diff, axis=-1)               # (H, QLP)
+    return dvalue, dpos, dhvec, dcw, dcb, daw, dab
 
 
 # ----------------------------------------------------------------------------
@@ -293,43 +300,38 @@ def _lstm_cell_bwd(z, c_prev, gh, gc):
 # Pallas kernels (grid over B)
 # ----------------------------------------------------------------------------
 
-def _make_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
+def _make_fwd_kernel(S, Q, H, LP, Dh, A, precision):
     dot = _make_dot(precision)
 
-    def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
-               out_ref):
-        value = value_ref[0]                             # (S, H, Dh)
-        loc = loc_ref[0]                                 # (H, L, QP)
-        hvec = hvec_ref[0]                               # (Q, A)
-        _, _, _, ctx = _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref,
-                                 ab_ref[0, 0], temporal_shapes,
-                                 Q, H, L, P, Dh, A, dot)
-        out_ref[0] = ctx
+    def kernel(value_ref, pos_ref, hib_ref, s0v_ref, hvec_ref, cw_ref,
+               cb_ref, aw_ref, ab_ref, out_ref):
+        _, _, _, ctx, _ = _fwd_math(value_ref[0], pos_ref[0], hib_ref[:],
+                                    s0v_ref[:], hvec_ref[0], cw_ref, cb_ref,
+                                    aw_ref, ab_ref[0, 0],
+                                    S, Q, H, LP, Dh, A, dot)
+        out_ref[0] = ctx                                 # (H, Q, Dh)
     return kernel
 
 
-def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
-    starts = _level_starts(temporal_shapes)
+def _make_bwd_kernel(S, Q, H, LP, Dh, A, precision):
     dot = _make_dot(precision)
 
-    def kernel(value_ref, loc_ref, hvec_ref, cw_ref, cb_ref, aw_ref, ab_ref,
-               g_ref,
-               dvalue_ref, dloc_ref, dhvec_ref, dcw_ref, dcb_ref, daw_ref,
+    def kernel(value_ref, pos_ref, hib_ref, s0v_ref, hvec_ref, cw_ref,
+               cb_ref, aw_ref, ab_ref, g_ref,
+               dvalue_ref, dpos_ref, dhvec_ref, dcw_ref, dcb_ref, daw_ref,
                dab_ref):
         b = pl.program_id(0)
-        value = value_ref[0]
-        loc = loc_ref[0]
-        hvec = hvec_ref[0]
-        g = g_ref[0]                                     # (Q, H, Dh)
+        value = value_ref[0]                             # (H, S, Dh)
+        g = g_ref[0]                                     # (H, Q, Dh)
 
-        taps, a, w, _ = _fwd_math(value, loc, hvec, cw_ref, cb_ref, aw_ref,
-                                  ab_ref[0, 0], temporal_shapes,
-                                  Q, H, L, P, Dh, A, dot)
-        dvalue, dloc, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
-            value, loc, taps, a, w, cw_ref, aw_ref, g, temporal_shapes,
-            starts, Q, H, L, P, Dh, A, dot)
+        taps4, a, w, _, Ms = _fwd_math(value, pos_ref[0], hib_ref[:],
+                                       s0v_ref[:], hvec_ref[0], cw_ref,
+                                       cb_ref, aw_ref, ab_ref[0, 0],
+                                       S, Q, H, LP, Dh, A, dot)
+        dvalue, dpos, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
+            value, taps4, a, w, Ms, cw_ref, aw_ref, g, Q, H, LP, Dh, A, dot)
         dvalue_ref[0] = dvalue
-        dloc_ref[0] = dloc
+        dpos_ref[0] = dpos
         dhvec_ref[0] = dhvec
 
         @pl.when(b == 0)
@@ -345,24 +347,30 @@ def _make_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, precision):
     return kernel
 
 
-def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+def _pallas_core(value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
                  temporal_shapes, Q, interpret, precision='float32',
                  backward=False, g=None):
-    B, S, H, Dh = value.shape
-    L = len(temporal_shapes)
-    QP = loc_t.shape[-1]
-    P = QP // Q
+    """value_t: (B, H, S, Dh) head-major value; pos: (B, H, Q·L·P) global
+    flat positions.  Forward returns ctx (B, H, Q, Dh)."""
+    B, H, S, Dh = value_t.shape
+    N = pos.shape[-1]
+    LP = N // Q
     A = hvec.shape[-1]
     f32 = jnp.float32
-    args = (value.astype(f32), loc_t.astype(f32), hvec.astype(f32),
+    hib_np, s0v_np = _bounds_np(temporal_shapes, Q, LP // len(temporal_shapes))
+    args = (value_t.astype(f32), pos.astype(f32),
+            jnp.asarray(hib_np)[None, :], jnp.asarray(s0v_np)[None, :],
+            hvec.astype(f32),
             ctx_w.astype(f32), ctx_b.astype(f32)[None, :],
             alpha_w.astype(f32)[None, :],
             jnp.asarray(alpha_b, f32).reshape(1, 1))
     in_specs = [
-        pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+        pl.BlockSpec((1, H, S, Dh), lambda b: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+        pl.BlockSpec((1, H, N), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Dh, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -372,44 +380,39 @@ def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
     ]
     if not backward:
         out = pl.pallas_call(
-            _make_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
-                             precision),
+            _make_fwd_kernel(S, Q, H, LP, Dh, A, precision),
             grid=(B,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, H, Q, Dh), lambda b: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Q, H, Dh), f32),
+            out_shape=jax.ShapeDtypeStruct((B, H, Q, Dh), f32),
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(*args)
-        return out.astype(value.dtype)
+        return out.astype(value_t.dtype)
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
-                         precision),
+        _make_bwd_kernel(S, Q, H, LP, Dh, A, precision),
         grid=(B,),
         in_specs=in_specs + [
-            pl.BlockSpec((1, Q, H, Dh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, Q, Dh), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, S, Dh), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dh, A), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, H, Dh), f32),
-            jax.ShapeDtypeStruct((B, H, L, QP), f32),
+            jax.ShapeDtypeStruct((B, H, S, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, N), f32),
             jax.ShapeDtypeStruct((B, Q, A), f32),
             jax.ShapeDtypeStruct((Dh, A), f32),
             jax.ShapeDtypeStruct((1, A), f32),
@@ -419,25 +422,25 @@ def _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*args, g.astype(f32))
-    dv, dloc, dhvec, dcw, dcb, daw, dab = outs
-    return (dv.astype(value.dtype), dloc.astype(loc_t.dtype),
+    dv, dpos, dhvec, dcw, dcb, daw, dab = outs
+    return (dv.astype(value_t.dtype), dpos.astype(pos.dtype),
             dhvec.astype(hvec.dtype), dcw.astype(ctx_w.dtype),
             dcb[0].astype(ctx_b.dtype), daw[0].astype(alpha_w.dtype),
             dab[0, 0].astype(jnp.asarray(alpha_b).dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _dsa_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+def _dsa_core(value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
               temporal_shapes, Q, interpret, precision):
-    return _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+    return _pallas_core(value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
                         temporal_shapes, Q, interpret, precision)
 
 
-def _dsa_core_fwd(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+def _dsa_core_fwd(value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
                   temporal_shapes, Q, interpret, precision):
-    out = _pallas_core(value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
+    out = _pallas_core(value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b,
                        temporal_shapes, Q, interpret, precision)
-    return out, (value, loc_t, hvec, ctx_w, ctx_b, alpha_w, alpha_b)
+    return out, (value_t, pos, hvec, ctx_w, ctx_b, alpha_w, alpha_b)
 
 
 def _dsa_core_bwd(temporal_shapes, Q, interpret, precision, res, g):
@@ -475,15 +478,17 @@ def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
         B, Q, H, L, P = offsets.shape
         loc = (ref_center[:, :, None, :, None]
                + offsets * offset_scale[:, :, None, :, None])
-        loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
+        pos = _level_pos(loc, temporal_shapes)           # (B, H, QLP)
+        value_t = value.transpose(0, 2, 1, 3)            # (B, H, S, Dh)
 
-        def core(v, lt, hv, cw, cb, aw, ab):
-            return _dsa_core(v, lt, hv, cw, cb, aw, ab,
+        def core(v, p, hv, cw, cb, aw, ab):
+            return _dsa_core(v, p, hv, cw, cb, aw, ab,
                              tuple(temporal_shapes), Q,
                              impl == 'pallas_interpret', precision)
-        return partition_batched(
-            core, (value, loc_t, hvec),
+        ctx = partition_batched(
+            core, (value_t, pos, hvec),
             (ctx_w, ctx_b, alpha_w, jnp.asarray(alpha_b)))
+        return ctx.transpose(0, 2, 1, 3)                 # (B, Q, H, Dh)
     raise ValueError(f'unknown dsa step impl {impl!r}')
 
 
@@ -501,6 +506,12 @@ def dsa_sample_attend(value, offsets, ref_center, offset_scale, hvec,
 # stay outside in XLA: their operands are (N, R) @ (R, <=A) matmuls that XLA
 # fuses with the loc/hvec elementwise prep, and keeping them outside lets
 # plain autodiff route their gradient contributions into dh.
+#
+# Hardware-validated posture (HW_VALIDATION.jsonl stages 'lstm'/'ab_fuse*'):
+# folding the LSTM's (N, 4R) recurrent matmuls into the launch LOSES
+# ~2.3 ms/step end-to-end at the flagship width against XLA's own fusion of
+# the surrounding scan, so this op is OFF by default (``dsa_lstm_fuse``) and
+# kept oracle-pinned for wider-hidden configs where the balance could flip.
 
 def dsa_lstm_step_ref(value, offsets, ref_center, offset_scale, hvec,
                       z0, h, c, ctx_w, w_hh,
@@ -523,47 +534,47 @@ def dsa_lstm_step_ref(value, offsets, ref_center, offset_scale, hvec,
     return h_new, c_new
 
 
-def _make_lstm_fwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
+def _make_lstm_fwd_kernel(S, Q, H, LP, Dh, A, R, precision):
     dot = _make_dot(precision)
 
-    def kernel(value_ref, loc_ref, hvec_ref, z0_ref, h_ref, c_ref,
-               cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref, ab_ref,
-               hout_ref, cout_ref):
-        _, _, _, ctx = _fwd_math(value_ref[0], loc_ref[0], hvec_ref[0],
-                                 cw_ref, cb_ref, aw_ref, ab_ref[0, 0],
-                                 temporal_shapes, Q, H, L, P, Dh, A, dot)
+    def kernel(value_ref, pos_ref, hib_ref, s0v_ref, hvec_ref, z0_ref,
+               h_ref, c_ref, cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref,
+               ab_ref, hout_ref, cout_ref):
+        _, _, _, ctx, _ = _fwd_math(value_ref[0], pos_ref[0], hib_ref[:],
+                                    s0v_ref[:], hvec_ref[0], cw_ref, cb_ref,
+                                    aw_ref, ab_ref[0, 0],
+                                    S, Q, H, LP, Dh, A, dot)
         z = z0_ref[0] + dot(h_ref[0], whh_ref[:])
-        # (Q,H,Dh) @ (H*Dh, 4R) per head: merging (H, Dh) into the lane dim
-        # is an unsupported shape cast, so contract head by head
+        # ctx is (H, Q, Dh); merging (H, Dh) into the lane dim is an
+        # unsupported shape cast, so contract head by head
         for hh in range(H):
-            z = z + dot(ctx[:, hh], cw3_ref[hh])
+            z = z + dot(ctx[hh], cw3_ref[hh])
         h_new, c_new = _lstm_cell_fwd(z, c_ref[0])
         hout_ref[0] = h_new
         cout_ref[0] = c_new
     return kernel
 
 
-def _make_lstm_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
-    starts = _level_starts(temporal_shapes)
+def _make_lstm_bwd_kernel(S, Q, H, LP, Dh, A, R, precision):
     dot = _make_dot(precision)
 
-    def kernel(value_ref, loc_ref, hvec_ref, z0_ref, h_ref, c_ref,
-               cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref, ab_ref,
-               gh_ref, gc_ref,
-               dvalue_ref, dloc_ref, dhvec_ref, dz0_ref, dh_ref, dc_ref,
+    def kernel(value_ref, pos_ref, hib_ref, s0v_ref, hvec_ref, z0_ref,
+               h_ref, c_ref, cw3_ref, whh_ref, cw_ref, cb_ref, aw_ref,
+               ab_ref, gh_ref, gc_ref,
+               dvalue_ref, dpos_ref, dhvec_ref, dz0_ref, dh_ref, dc_ref,
                dcw3_ref, dwhh_ref, dcw_ref, dcb_ref, daw_ref, dab_ref):
         b = pl.program_id(0)
         value = value_ref[0]
-        loc = loc_ref[0]
         h_prev = h_ref[0]                                # (Q, R)
 
         # recompute the forward entirely in VMEM
-        taps, a, w, ctx = _fwd_math(value, loc, hvec_ref[0],
-                                    cw_ref, cb_ref, aw_ref, ab_ref[0, 0],
-                                    temporal_shapes, Q, H, L, P, Dh, A, dot)
+        taps4, a, w, ctx, Ms = _fwd_math(value, pos_ref[0], hib_ref[:],
+                                         s0v_ref[:], hvec_ref[0], cw_ref,
+                                         cb_ref, aw_ref, ab_ref[0, 0],
+                                         S, Q, H, LP, Dh, A, dot)
         z = z0_ref[0] + dot(h_prev, whh_ref[:])
         for hh in range(H):
-            z = z + dot(ctx[:, hh], cw3_ref[hh])
+            z = z + dot(ctx[hh], cw3_ref[hh])
 
         # ---- LSTM cell backward
         dz, dc_prev = _lstm_cell_bwd(z, c_ref[0], gh_ref[0], gc_ref[0])
@@ -584,16 +595,16 @@ def _make_lstm_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
         # ---- d ctx via the per-head ctx_w blocks, then d ctx_w itself
         dctx_heads = []
         for hh in range(H):
-            dctx_heads.append(dot(dz, cw3_ref[hh].T)[:, None])   # (Q,1,Dh)
-            dcw3_ref[hh] += dot(ctx[:, hh].T, dz)
-        dctx = jnp.concatenate(dctx_heads, axis=1)       # (Q, H, Dh)
+            dctx_heads.append(dot(dz, cw3_ref[hh].T)[None])      # (1,Q,Dh)
+            dcw3_ref[hh] += dot(ctx[hh].T, dz)
+        dctx = jnp.concatenate(dctx_heads, axis=0)       # (H, Q, Dh)
 
         # ---- attention + sampling backward with g = d ctx
-        dvalue, dloc, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
-            value, loc, taps, a, w, cw_ref, aw_ref, dctx, temporal_shapes,
-            starts, Q, H, L, P, Dh, A, dot)
+        dvalue, dpos, dhvec, dcw, dcb, daw, dab = _attn_bwd_from_g(
+            value, taps4, a, w, Ms, cw_ref, aw_ref, dctx,
+            Q, H, LP, Dh, A, dot)
         dvalue_ref[0] = dvalue
-        dloc_ref[0] = dloc
+        dpos_ref[0] = dpos
         dhvec_ref[0] = dhvec
         dcw_ref[:] += dcw
         dcb_ref[:] += dcb
@@ -602,26 +613,30 @@ def _make_lstm_bwd_kernel(temporal_shapes, Q, H, L, P, Dh, A, R, precision):
     return kernel
 
 
-def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+def _pallas_lstm_core(value_t, pos, hvec, z0, h, c, ctx_w3, w_hh,
                       cw, cb, aw, ab, temporal_shapes, Q, interpret,
                       precision='float32', backward=False, g=None):
-    B, S, H, Dh = value.shape
-    L = len(temporal_shapes)
-    QP = loc_t.shape[-1]
-    P = QP // Q
+    B, H, S, Dh = value_t.shape
+    N = pos.shape[-1]
+    LP = N // Q
     A = hvec.shape[-1]
     R = h.shape[-1]
     f32 = jnp.float32
-    args = (value.astype(f32), loc_t.astype(f32), hvec.astype(f32),
+    hib_np, s0v_np = _bounds_np(temporal_shapes, Q, LP // len(temporal_shapes))
+    args = (value_t.astype(f32), pos.astype(f32),
+            jnp.asarray(hib_np)[None, :], jnp.asarray(s0v_np)[None, :],
+            hvec.astype(f32),
             z0.astype(f32), h.astype(f32), c.astype(f32),
             ctx_w3.astype(f32), w_hh.astype(f32),
             cw.astype(f32), cb.astype(f32)[None, :], aw.astype(f32)[None, :],
             jnp.asarray(ab, f32).reshape(1, 1))
     in_specs = [
-        pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+        pl.BlockSpec((1, H, S, Dh), lambda b: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+        pl.BlockSpec((1, H, N), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Q, 4 * R), lambda b: (b, 0, 0),
@@ -640,8 +655,7 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
     ]
     if not backward:
         h_new, c_new = pl.pallas_call(
-            _make_lstm_fwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A,
-                                  R, precision),
+            _make_lstm_fwd_kernel(S, Q, H, LP, Dh, A, R, precision),
             grid=(B,),
             in_specs=in_specs,
             out_specs=[
@@ -658,8 +672,7 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
 
     gh, gc = g
     outs = pl.pallas_call(
-        _make_lstm_bwd_kernel(tuple(temporal_shapes), Q, H, L, P, Dh, A, R,
-                              precision),
+        _make_lstm_bwd_kernel(S, Q, H, LP, Dh, A, R, precision),
         grid=(B,),
         in_specs=in_specs + [
             pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
@@ -667,9 +680,9 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
             pl.BlockSpec((1, Q, R), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, S, H, Dh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, S, Dh), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, L, QP), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -690,8 +703,8 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, H, Dh), f32),
-            jax.ShapeDtypeStruct((B, H, L, QP), f32),
+            jax.ShapeDtypeStruct((B, H, S, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, N), f32),
             jax.ShapeDtypeStruct((B, Q, A), f32),
             jax.ShapeDtypeStruct((B, Q, 4 * R), f32),
             jax.ShapeDtypeStruct((B, Q, R), f32),
@@ -706,8 +719,8 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*args, gh.astype(f32), gc.astype(f32))
-    (dv, dloc, dhvec, dz0, dh, dc, dcw3, dwhh, dcw, dcb, daw, dab) = outs
-    return (dv.astype(value.dtype), dloc.astype(loc_t.dtype),
+    (dv, dpos, dhvec, dz0, dh, dc, dcw3, dwhh, dcw, dcb, daw, dab) = outs
+    return (dv.astype(value_t.dtype), dpos.astype(pos.dtype),
             dhvec.astype(hvec.dtype), dz0.astype(z0.dtype),
             dh.astype(h.dtype), dc.astype(c.dtype),
             dcw3.astype(ctx_w3.dtype), dwhh.astype(w_hh.dtype),
@@ -716,19 +729,19 @@ def _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
-def _dsa_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw,
+def _dsa_lstm_core(value_t, pos, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw,
                    ab, temporal_shapes, Q, interpret, precision):
-    return _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+    return _pallas_lstm_core(value_t, pos, hvec, z0, h, c, ctx_w3, w_hh,
                              cw, cb, aw, ab, temporal_shapes, Q, interpret,
                              precision)
 
 
-def _dsa_lstm_core_fwd(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb,
+def _dsa_lstm_core_fwd(value_t, pos, hvec, z0, h, c, ctx_w3, w_hh, cw, cb,
                        aw, ab, temporal_shapes, Q, interpret, precision):
-    out = _pallas_lstm_core(value, loc_t, hvec, z0, h, c, ctx_w3, w_hh,
+    out = _pallas_lstm_core(value_t, pos, hvec, z0, h, c, ctx_w3, w_hh,
                             cw, cb, aw, ab, temporal_shapes, Q, interpret,
                             precision)
-    return out, (value, loc_t, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw, ab)
+    return out, (value_t, pos, hvec, z0, h, c, ctx_w3, w_hh, cw, cb, aw, ab)
 
 
 def _dsa_lstm_core_bwd(temporal_shapes, Q, interpret, precision, res, g):
@@ -759,15 +772,16 @@ def dsa_lstm_step(value, offsets, ref_center, offset_scale, hvec, z0, h, c,
         R = h.shape[-1]
         loc = (ref_center[:, :, None, :, None]
                + offsets * offset_scale[:, :, None, :, None])
-        loc_t = loc.transpose(0, 2, 3, 1, 4).reshape(B, H, L, Q * P)
+        pos = _level_pos(loc, temporal_shapes)           # (B, H, QLP)
+        value_t = value.transpose(0, 2, 1, 3)            # (B, H, S, Dh)
         ctx_w3 = ctx_w.reshape(H, Dh, 4 * R)
 
-        def core(v, lt, hv, z0_, h_, c_, cw3, whh, cw, cb, aw, ab_):
-            return _dsa_lstm_core(v, lt, hv, z0_, h_, c_, cw3, whh, cw, cb,
+        def core(v, p, hv, z0_, h_, c_, cw3, whh, cw, cb, aw, ab_):
+            return _dsa_lstm_core(v, p, hv, z0_, h_, c_, cw3, whh, cw, cb,
                                   aw, ab_, tuple(temporal_shapes), Q,
                                   impl == 'pallas_interpret', precision)
         return partition_batched(
-            core, (value, loc_t, hvec, z0, h, c),
+            core, (value_t, pos, hvec, z0, h, c),
             (ctx_w3, w_hh, ctx2att_w, ctx2att_b, alpha_w,
              jnp.asarray(alpha_b)))
     raise ValueError(f'unknown dsa lstm step impl {impl!r}')
