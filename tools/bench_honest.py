@@ -355,7 +355,23 @@ def main():
     ap.add_argument('--fuse', type=int, default=None,
                     help='override dsa_lstm_fuse (A/B the fused word step '
                          'end-to-end: --what train,eval --fuse 0|1)')
+    ap.add_argument('--set', action='append', default=[], metavar='K=V',
+                    help='arbitrary flagship-opt override (repeatable), '
+                         'e.g. --set enc_layers=4 --set dec_layers=2 — '
+                         'for ablation bisects of the trunk')
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition('=')
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        overrides[k] = v
 
     results = {'batch': args.batch, 'backend': jax.default_backend(),
                'protocol': 'in-graph fori diff '
@@ -385,6 +401,9 @@ def main():
                 kw['caption_loss_coef'] = 0.0
         if args.fuse is not None:
             kw['dsa_lstm_fuse'] = args.fuse
+        kw.update(overrides)
+        if overrides:
+            results['overrides'] = overrides
         opt = _flagship_opt(**kw)
         trainer = Trainer(opt)
         batch = _synthetic_batch(opt, B=args.batch)
