@@ -35,10 +35,12 @@ interpolation of ``value[floor(p)]`` and ``value[floor(p)+1]``:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -326,11 +328,191 @@ def _msda_pallas_fwd(value, temporal_shapes, sampling_locations,
     return out, (value, sampling_locations, attention_weights)
 
 
+# ----------------------------------------------------------------------------
+# analytic Pallas backward (level-merged layout)
+# ----------------------------------------------------------------------------
+#
+# The XLA dense-VJP backward materializes per-level (B, Q, H, P, T) one-hot
+# intermediates in HBM; the trunk layer ablation (BENCHMARKS.md) put the
+# encoder MSDA backward at the top of the train-step profile.  This kernel
+# applies the ``ops/dsa_step.py`` treatment to the trunk op: per (b, h) grid
+# cell it rebuilds the lerp one-hot pair over the WHOLE flat S axis once
+# (positions enter pre-flattened level-relative in (q, l, p) order — the
+# integer level start shifts the index only, so lerp weights are
+# bit-identical to the per-level formulation) and emits all three gradients
+# from VMEM:
+#
+# Hardware-validated posture (HW_VALIDATION.jsonl stage 'msda_bwd'): at the
+# flagship trunk shapes (Q = S ~ 375, 128 (b, h) cells) this kernel LOSES to
+# the XLA dense-formulation VJP — 40.9 vs 31.3 ms end-to-end train step —
+# because the three per-cell (Q, LP, S) one-hot-sized matrices cost more
+# VPU/VMEM traffic than XLA's fused per-level einsum builds, which
+# additionally parallelize across (b, h).  Unlike the caption step (tiny
+# per-step shapes, launch-bound, 19 sequential launches), the trunk runs
+# ONCE per layer at large shapes where XLA's fusion is already good.  The
+# default is therefore 'dense'; the kernel stays parity-tested
+# (DVC_MSDA_BWD=pallas) for shapes where the balance could flip.
+#
+#     W       = sum_lp attn * M            (Q, S)   lerp/attn coefficients
+#     dvalue  = W^T @ g                    (S, D)   one MXU matmul
+#     gv      = g @ value^T                (Q, S)   one MXU matmul
+#     dattn   = sum_s M  * gv              (Q, LP)
+#     dpos    = attn * sum_s Md * gv       (Q, LP), Md = d tap / d pos
+#
+# and d loc = d pos * T_l chains outside (pos = loc * T_l - 0.5).
+# The backward's per-cell working set (three (Q*L*P, S) one-hot-sized
+# matrices) exceeds Mosaic's 16 MB default scoped-vmem budget at encoder
+# shapes (Q = S ~ 384); v5e has 128 MB of VMEM — allow 3/4 of it.
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=96 * 1024 * 1024)
+
+# DVC_MSDA_BWD=pallas selects the analytic kernel (read at trace time; the
+# module variable overrides the env for tests); 'dense' is the
+# hardware-validated default — see the posture note above
+_BWD_IMPL = None
+
+
+def _bwd_impl():
+    impl = _BWD_IMPL or os.environ.get('DVC_MSDA_BWD', 'dense')
+    if impl not in ('pallas', 'dense'):
+        raise ValueError(f'DVC_MSDA_BWD must be pallas|dense, got {impl!r}')
+    return impl
+
+
+def _flat_bounds_np(temporal_shapes, Q, P):
+    """Per-(q, l, p) matrices (Q, L*P): level-relative clamp bound (T_l - 1)
+    and integer level start — static functions of the level table."""
+    starts = _level_starts(temporal_shapes)
+    L = len(temporal_shapes)
+    hib = np.zeros((Q, L, P), np.float32)
+    s0v = np.zeros((Q, L, P), np.int32)
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        hib[:, l, :] = T - 1
+        s0v[:, l, :] = s0
+    return hib.reshape(Q, L * P), s0v.reshape(Q, L * P)
+
+
+def _msda_bwd_kernel(value_ref, pos_ref, attn_ref, hib_ref, s0v_ref, g_ref,
+                     dvalue_ref, dpos_ref, dattn_ref, *, Q, LP, S, mode):
+    """Per-(b, h) cell.  value (S, D); pos/attn/hib/s0v (Q, LP) with pos
+    level-relative; g (Q, D).  All tap tensors stay in (Q, LP[, S]) layout —
+    Mosaic requires the trailing two block dims be 8/128-aligned or cover
+    the array, which (Q_pad, LP) satisfies and a flat (N,) does not."""
+    pos = pos_ref[0, 0]                                  # (Q, LP)
+    hib = hib_ref[:]
+    s0v = s0v_ref[:]
+    attn = attn_ref[0, 0]                                # (Q, LP)
+    value = value_ref[0, 0]                              # (S, D)
+    g = g_ref[0, 0]                                      # (Q, D)
+
+    i_lo = jnp.floor(pos)
+    w_hi = pos - i_lo
+    w_lo = 1.0 - w_hi
+    idx_lo = jnp.clip(i_lo, 0.0, hib).astype(jnp.int32) + s0v
+    idx_hi = jnp.clip(i_lo + 1.0, 0.0, hib).astype(jnp.int32) + s0v
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, LP, S), 2)
+    M_lo = (idx_lo[..., None] == iota).astype(jnp.float32)
+    M_hi = (idx_hi[..., None] == iota).astype(jnp.float32)
+    if mode == "zeros":
+        # masked weights: out-of-range taps contribute 0 and their lerp
+        # weight's pos-derivative is 0 (matches autodiff of the dense form)
+        ok_lo = ((i_lo >= 0.0) & (i_lo <= hib)).astype(jnp.float32)
+        ok_hi = ((i_lo + 1.0 >= 0.0) & (i_lo + 1.0 <= hib)).astype(jnp.float32)
+        M = ((w_lo * ok_lo)[..., None] * M_lo
+             + (w_hi * ok_hi)[..., None] * M_hi)         # (Q, LP, S)
+        Md = ok_hi[..., None] * M_hi - ok_lo[..., None] * M_lo
+    else:  # border: clamped indices collapse the edge difference to 0
+        M = w_lo[..., None] * M_lo + w_hi[..., None] * M_hi
+        Md = M_hi - M_lo
+
+    W = jnp.sum(attn[..., None] * M, axis=1)             # (Q, S)
+    dvalue_ref[0, 0] = jnp.dot(W.T, g, preferred_element_type=jnp.float32)
+    gv = jnp.dot(g, value.T, preferred_element_type=jnp.float32)  # (Q, S)
+    gv3 = gv[:, None, :]
+    dattn_ref[0, 0] = jnp.sum(M * gv3, axis=-1)
+    dpos_ref[0, 0] = attn * jnp.sum(Md * gv3, axis=-1)
+
+
+def _msda_pallas_bwd_impl(value, temporal_shapes, sampling_locations,
+                          attention_weights, mode, interpret, g):
+    """Analytic gradients (dvalue, dloc, dattn) via one Pallas launch."""
+    B, S, H, D = value.shape
+    _, Q, _, L, P = sampling_locations.shape
+    S_pad = _round_up(S, 128)
+    Q_pad = _round_up(Q, 8)
+    D_pad = _round_up(D, 128)
+    LP = L * P
+    f32 = jnp.float32
+
+    t_vec = jnp.asarray(temporal_shapes, f32)
+    loc = sampling_locations.astype(f32)
+    loc = jnp.pad(loc, ((0, 0), (0, Q_pad - Q), (0, 0), (0, 0), (0, 0)))
+    # level-relative positions, head-major, (q, l, p) order kept as (Q, LP)
+    pos = loc * t_vec[None, None, None, :, None] - 0.5
+    pos = pos.transpose(0, 2, 1, 3, 4).reshape(B, H, Q_pad, LP)
+    attn = attention_weights.astype(f32)
+    attn = jnp.pad(attn, ((0, 0), (0, Q_pad - Q), (0, 0), (0, 0), (0, 0)))
+    attn_t = attn.transpose(0, 2, 1, 3, 4).reshape(B, H, Q_pad, LP)
+    val_t = jnp.moveaxis(value.astype(f32), 2, 1)        # (B, H, S, D)
+    val_t = jnp.pad(val_t, ((0, 0), (0, 0), (0, S_pad - S), (0, D_pad - D)))
+    g_t = g.astype(f32).reshape(B, Q, H, D).transpose(0, 2, 1, 3)
+    g_t = jnp.pad(g_t, ((0, 0), (0, 0), (0, Q_pad - Q), (0, D_pad - D)))
+    hib_np, s0v_np = _flat_bounds_np(temporal_shapes, Q_pad, P)
+
+    kernel = functools.partial(_msda_bwd_kernel, Q=Q_pad, LP=LP,
+                               S=S_pad, mode=mode)
+    qlp_spec = pl.BlockSpec((1, 1, Q_pad, LP), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dval, dpos, dattn = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, S_pad, D_pad), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qlp_spec,
+            qlp_spec,
+            pl.BlockSpec((Q_pad, LP), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q_pad, LP), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q_pad, D_pad), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S_pad, D_pad), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qlp_spec,
+            qlp_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S_pad, D_pad), f32),
+            jax.ShapeDtypeStruct((B, H, Q_pad, LP), f32),
+            jax.ShapeDtypeStruct((B, H, Q_pad, LP), f32),
+        ],
+        compiler_params=_BWD_COMPILER_PARAMS,
+        interpret=interpret,
+    )(val_t, pos, attn_t, jnp.asarray(hib_np), jnp.asarray(s0v_np), g_t)
+
+    dvalue = jnp.moveaxis(dval[:, :, :S, :D], 1, 2)      # (B, S, H, D)
+    dpos = dpos.reshape(B, H, Q_pad, L, P)[:, :, :Q]
+    # chain pos = loc * T_l - 0.5  ->  dloc = dpos * T_l
+    dloc = (dpos * t_vec[None, None, None, :, None]).transpose(0, 2, 1, 3, 4)
+    dattn = (dattn.reshape(B, H, Q_pad, L, P)[:, :, :Q]
+             .transpose(0, 2, 1, 3, 4))
+    return (dvalue.astype(value.dtype),
+            dloc.astype(sampling_locations.dtype),
+            dattn.astype(attention_weights.dtype))
+
+
 def _msda_pallas_bwd(temporal_shapes, mode, interpret, residuals, g):
-    # backward through the dense (one-hot matmul) formulation: its VJP is
-    # matmuls on the MXU, whereas the gather oracle's VJP lowers to TPU
-    # scatters (slow). The two are mathematically identical.
     value, sampling_locations, attention_weights = residuals
+    if _bwd_impl() == 'pallas':
+        return _msda_pallas_bwd_impl(value, temporal_shapes,
+                                     sampling_locations, attention_weights,
+                                     mode, interpret, g)
+    # dense fallback: backward through the one-hot matmul formulation — its
+    # VJP is matmuls on the MXU, whereas the gather oracle's VJP lowers to
+    # TPU scatters (slow). The two are mathematically identical.
     _, vjp = jax.vjp(
         lambda v, s, a: ms_deform_attn_dense(v, temporal_shapes, s, a,
                                              mode=mode),

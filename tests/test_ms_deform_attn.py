@@ -157,3 +157,59 @@ def test_sample_values_grad_matches_gather():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_pallas_analytic_bwd_matches_dense_vjp(mode):
+    """The analytic level-merged Pallas backward emits the same
+    (dvalue, dloc, dattn) as the XLA dense-formulation VJP, both modes,
+    with boundary-straddling locations."""
+    import importlib
+    m = importlib.import_module("dvc_tpu.ops.ms_deform_attn")
+    rng = np.random.default_rng(11)
+    value, loc, attn = make_inputs(rng, B=2, Q=5, H=3, D=6, P=3)
+
+    def loss(v, s, a):
+        out = ms_deform_attn_pallas(v, SHAPES[0], s, a, mode, True)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    old = m._BWD_IMPL
+    try:
+        m._BWD_IMPL = 'pallas'
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+        m._BWD_IMPL = 'dense'
+        g_dense = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+    finally:
+        m._BWD_IMPL = old
+    for a, b in zip(g_pal, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bwd_odd_channels_and_single_level():
+    """Padding correctness: odd D, Q not a multiple of 8, one level."""
+    import importlib
+    m = importlib.import_module("dvc_tpu.ops.ms_deform_attn")
+    shapes = (7,)
+    rng = np.random.default_rng(13)
+    value, loc, attn = make_inputs(rng, B=1, Q=3, H=2, D=5,
+                                   shapes=shapes, P=2)
+
+    def loss(fn):
+        def f(v, s, a):
+            out = fn(v, s, a)
+            return jnp.sum(out * jnp.sin(1.0 + jnp.arange(out.size)
+                                         .reshape(out.shape)))
+        return jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+
+    old = m._BWD_IMPL
+    try:
+        m._BWD_IMPL = 'pallas'
+        g_pal = loss(lambda v, s, a: ms_deform_attn_pallas(
+            v, shapes, s, a, "zeros", True))
+    finally:
+        m._BWD_IMPL = old
+    g_ref = loss(lambda v, s, a: ms_deform_attn_ref(v, shapes, s, a))
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
