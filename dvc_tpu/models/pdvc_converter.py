@@ -317,3 +317,110 @@ def convert_pdvc(state_dict, flax_params=None, nheads=None):
                 'convert_pdvc: converted shapes do not match the flax PDVC '
                 'tree:\n  ' + '\n  '.join(mismatches[:15]))
     return params
+
+
+def _torch_mha_to_flax(sd, src, nheads, take):
+    """Packed torch ``nn.MultiheadAttention`` -> flax
+    MultiHeadDotProductAttention param dict (query/key/value/out)."""
+    w = take(f'{src}.in_proj_weight')            # (3E, E)
+    b = take(f'{src}.in_proj_bias')              # (3E,)
+    E = w.shape[1]
+    if E % nheads:
+        raise ValueError(
+            f'convert_fusion: embed dim {E} not divisible by {nheads} heads')
+    hd = E // nheads
+    out = {}
+    for name, wi, bi in zip(('query', 'key', 'value'),
+                            np.split(w, 3, axis=0), np.split(b, 3, axis=0)):
+        out[name] = {'kernel': _t_lin(wi).reshape(E, nheads, hd),
+                     'bias': bi.reshape(nheads, hd)}
+    out['out'] = {'kernel': _t_lin(take(f'{src}.out_proj.weight')
+                                   ).reshape(nheads, hd, E),
+                  'bias': take(f'{src}.out_proj.bias')}
+    return out
+
+
+def convert_fusion(state_dict, flax_params=None, nheads=None,
+                   fusion_heads=None):
+    """Reference ``NewModel`` torch checkpoint -> ``FusionPDVC`` flax params.
+
+    The reference's headline artifact is a NewModel ``.pth`` saved as
+    ``{'model': state_dict, ...}`` by ``newTrain.py:404-417``; its layout
+    (``NewModel.py:9-37``):
+
+    * ``pdvcModel.*``     -> the wrapped PDVC, converted via
+      :func:`convert_pdvc` into the ``pdvc`` subtree
+    * ``ln1/mha1/mlp_seq1.{0,1}`` (visual self-attention,
+      NewModel.py:41-51)  -> ``visual_sa/{ln, mha, mlp_fc, mlp_ln}``
+    * ``ln2/mha2/mlp_seq2.{0,1}`` (audio->visual cross-attention,
+      NewModel.py:55-65)  -> ``sound_ca/{ln, mha, mlp_fc, mlp_ln}``
+    * ``sound_model.*`` (HuBERT, NewModel.py:35-37) -> discarded: audio
+      features are produced by the data pipeline (``dvc_tpu/data/audio.py``)
+      rather than inside the model
+
+    ``fusion_heads`` (reference hard-codes 32) is inferred from
+    ``flax_params`` when given; ``nheads`` is forwarded to convert_pdvc.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        sd[k] = np.asarray(v) if not k.startswith('sound_model.') else v
+
+    if flax_params is not None and 'params' in flax_params \
+            and 'visual_sa' not in flax_params:
+        flax_params = flax_params['params']
+    if flax_params is not None and fusion_heads is None:
+        qk = flax_params.get('visual_sa', {}).get('mha', {}).get(
+            'query', {}).get('kernel')
+        if qk is not None:
+            fusion_heads = qk.shape[1]
+    if fusion_heads is None:
+        fusion_heads = 32   # hard-coded in the reference (NewModel.py:22,29)
+
+    pdvc_sd = {k[len('pdvcModel.'):]: v for k, v in sd.items()
+               if k.startswith('pdvcModel.')}
+    if not pdvc_sd:
+        raise ValueError(
+            'convert_fusion: no "pdvcModel.*" keys — not a reference '
+            'NewModel checkpoint (for a bare PDVC one use convert_pdvc)')
+    inner_flax = flax_params.get('pdvc') if flax_params is not None else None
+
+    used = set()
+
+    def take(key):
+        if key not in sd:
+            raise ValueError(
+                f'convert_fusion: expected torch key "{key}" not found — '
+                'the checkpoint layout does not match the reference '
+                'NewModel')
+        used.add(key)
+        return sd[key]
+
+    params = {'pdvc': convert_pdvc(pdvc_sd, inner_flax, nheads=nheads)}
+    for dst, ln, mha, mlp in (('visual_sa', 'ln1', 'mha1', 'mlp_seq1'),
+                              ('sound_ca', 'ln2', 'mha2', 'mlp_seq2')):
+        params[dst] = {
+            'mha': _torch_mha_to_flax(sd, mha, fusion_heads, take),
+            'ln': {'scale': take(f'{ln}.weight'),
+                   'bias': take(f'{ln}.bias')},
+            'mlp_fc': {'kernel': _t_lin(take(f'{mlp}.0.weight')),
+                       'bias': take(f'{mlp}.0.bias')},
+            'mlp_ln': {'scale': take(f'{mlp}.1.weight'),
+                       'bias': take(f'{mlp}.1.bias')},
+        }
+
+    leftovers = [k for k in sd if k not in used
+                 and not k.startswith(('pdvcModel.', 'sound_model.'))]
+    if leftovers:
+        raise ValueError(
+            'convert_fusion: unconsumed checkpoint tensors (layout mismatch '
+            f'with the reference NewModel): {sorted(leftovers)[:10]}')
+
+    if flax_params is not None:
+        mismatches = _shape_mismatches(flax_params, params)
+        if mismatches:
+            raise ValueError(
+                'convert_fusion: converted shapes do not match the flax '
+                'FusionPDVC tree:\n  ' + '\n  '.join(mismatches[:15]))
+    return params

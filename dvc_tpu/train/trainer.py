@@ -374,10 +374,15 @@ def load_checkpoint(path: str, flax_params=None):
     torch PDVC ``.pth`` (converted on the fly via ``convert_pdvc`` —
     pass ``flax_params`` for shape validation / head-count inference)."""
     if path.endswith('.pth'):
-        from ..models.pdvc_converter import convert_pdvc
+        from ..models.pdvc_converter import convert_fusion, convert_pdvc
         from ..models.tsp.converter import load_torch_state_dict
         sd = load_torch_state_dict(path)
-        converted = convert_pdvc(sd, flax_params)
+        # a NewModel checkpoint (newTrain.py:404-417) carries the PDVC
+        # under a 'pdvcModel.' prefix plus the fusion attention blocks
+        is_fusion = any(k.startswith(('pdvcModel.', 'module.pdvcModel.'))
+                        for k in sd)
+        conv = convert_fusion if is_fusion else convert_pdvc
+        converted = conv(sd, flax_params)
         return {'epoch': 0, 'step': 0,
                 'params': {'params': jax.tree_util.tree_map(
                     jnp.asarray, converted)}}

@@ -54,3 +54,31 @@ def install():
         colorlog.ColoredFormatter = _ColoredFormatter
         colorlog.StreamHandler = logging.StreamHandler
         sys.modules['colorlog'] = colorlog
+
+
+def install_torchaudio():
+    """torchaudio is absent from this box; the reference ``NewModel.py``
+    only touches it at __init__ (``torchaudio.pipelines.HUBERT_BASE
+    .get_model()``, NewModel.py:35-37) and inside ``get_mfcc`` (which the
+    parity test monkeypatches away), so an Identity-model bundle stub is
+    all the import needs."""
+    if 'torchaudio' in sys.modules:
+        return
+    import torch
+
+    ta = _stub_module('torchaudio')
+    pipelines = _stub_module('torchaudio.pipelines')
+    functional = _stub_module('torchaudio.functional')
+
+    class _HubertBundle:
+        sample_rate = 16000
+
+        def get_model(self):
+            return torch.nn.Identity()
+
+    pipelines.HUBERT_BASE = _HubertBundle()
+    ta.pipelines = pipelines
+    ta.functional = functional
+    sys.modules['torchaudio'] = ta
+    sys.modules['torchaudio.pipelines'] = pipelines
+    sys.modules['torchaudio.functional'] = functional
