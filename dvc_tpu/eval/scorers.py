@@ -15,11 +15,14 @@ with the repo.  This module re-implements the published algorithms natively:
   synonym weight .8, content/function-word distinction).  The paraphrase
   stage activates when ``DVC_METEOR_PARAPHRASE`` points at a Meteor
   paraphrase table (the ``paraphrase-en.gz`` artifact); the synonym stage
-  when ``DVC_METEOR_WORDNET`` points at a WordNet ``dict`` directory.  The greedy aligner approximates the
-  jar's beam search, so absolute values can differ slightly; if a
-  ``meteor-1.5.jar`` is available set ``DVC_METEOR_JAR`` and it is used
-  instead (score-parity mode), and ``tools/calibrate_meteor.py`` reports
-  the jar-vs-python divergence on a corpus.
+  when ``DVC_METEOR_WORDNET`` points at a WordNet ``dict`` directory.
+  Alignment resolution implements the published meteor-1.5 beam search
+  (maximize covered words, then minimize chunks, then minimize match
+  distance; beam 40 — brute-force-verified exact on short sentences in
+  tests/test_tokenizer_meteor.py).  If a ``meteor-1.5.jar`` is available
+  set ``DVC_METEOR_JAR`` and it is used instead (score-parity mode), and
+  ``tools/calibrate_meteor.py`` reports the jar-vs-python divergence on a
+  corpus.
 
 All scorers share the pycocoevalcap interface:
 ``compute_score(gts, res) -> (corpus_score, per_instance_scores)`` where
@@ -517,93 +520,139 @@ def _active_synonym_table():
     return None
 
 
-def _meteor_align(hyp, ref, paraphrases=None, synonyms=None):
-    """Greedy staged alignment (meteor-1.5 matcher order): exact, stem,
-    synonym, then paraphrase phrases, each preferring the alignment that
-    minimizes crossing (approximated by left-to-right matching).
-    Returns list of (hyp_i, ref_j, weight)."""
-    used_h = [False] * len(hyp)
-    used_r = [False] * len(ref)
-    matches = []
-    # exact
+_ALIGNER_BEAM = 40              # meteor-1.5 Aligner beam width
+_MAX_PHRASE_LEN = 6
+
+
+def _collect_matches(hyp, ref, paraphrases=None, synonyms=None):
+    """All candidate matches between hyp and ref, meteor-1.5 matcher
+    order (exact, stem, synonym, paraphrase).  A match is
+    ``(h_start, h_len, r_start, r_len, weight)``; when several stages
+    match the same span pair the earliest (highest-priority) stage wins.
+    Exact/stem/synonym match single words; paraphrase matches phrases."""
+    cands: dict = {}
+
+    def add(h, hl, r, rl, weight):
+        cands.setdefault((h, hl, r, rl), weight)
+
     for i, hw in enumerate(hyp):
         for j, rw in enumerate(ref):
-            if not used_r[j] and hw == rw:
-                matches.append((i, j, 1.0))
-                used_h[i] = True
-                used_r[j] = True
-                break
-    # stem
+            if hw == rw:
+                add(i, 1, j, 1, 1.0)
     hyp_stem = [porter_stem(w) for w in hyp]
     ref_stem = [porter_stem(w) for w in ref]
     for i, hs in enumerate(hyp_stem):
-        if used_h[i]:
-            continue
         for j, rs in enumerate(ref_stem):
-            if not used_r[j] and hs == rs:
-                matches.append((i, j, _STEM_WEIGHT))
-                used_h[i] = True
-                used_r[j] = True
-                break
-    # synonym (single words sharing any WordNet synset)
+            if hs == rs:
+                add(i, 1, j, 1, _STEM_WEIGHT)
     if synonyms:
         for i, hw in enumerate(hyp):
-            if used_h[i]:
-                continue
             h_syn = synonyms.get(hw)
             if not h_syn:
                 continue
             for j, rw in enumerate(ref):
-                if used_r[j]:
-                    continue
                 r_syn = synonyms.get(rw)
                 if r_syn and not h_syn.isdisjoint(r_syn):
-                    matches.append((i, j, _SYNONYM_WEIGHT))
-                    used_h[i] = True
-                    used_r[j] = True
-                    break
-    # paraphrase phrases (longest-first greedy over unmatched spans,
-    # meteor-1.5's final matcher stage)
+                    add(i, 1, j, 1, _SYNONYM_WEIGHT)
     if paraphrases:
-        max_len = 6
-        for li in range(max_len, 0, -1):
+        ref_spans: dict = {}
+        for lj in range(1, _MAX_PHRASE_LEN + 1):
+            for j in range(len(ref) - lj + 1):
+                ref_spans.setdefault(' '.join(ref[j:j + lj]),
+                                     []).append((j, lj))
+        for li in range(1, _MAX_PHRASE_LEN + 1):
             for i in range(len(hyp) - li + 1):
-                if any(used_h[i:i + li]):
+                entry = paraphrases.get(' '.join(hyp[i:i + li]))
+                if not entry:
                     continue
-                cands = paraphrases.get(' '.join(hyp[i:i + li]))
-                if not cands:
-                    continue
-                done = False
-                for lj in range(max_len, 0, -1):
-                    for j in range(len(ref) - lj + 1):
-                        if any(used_r[j:j + lj]):
-                            continue
-                        if ' '.join(ref[j:j + lj]) in cands:
-                            # cover both spans; pseudo-align token pairs so
-                            # chunk counting sees one contiguous run, and
-                            # each covered token is weighted exactly once
-                            for k in range(max(li, lj)):
-                                matches.append(
-                                    (i + min(k, li - 1), j + min(k, lj - 1),
-                                     _PARAPHRASE_WEIGHT))
-                            for k in range(li):
-                                used_h[i + k] = True
-                            for k in range(lj):
-                                used_r[j + k] = True
-                            done = True
-                            break
-                    if done:
-                        break
-    return sorted(matches)
+                for phrase in entry:
+                    for j, lj in ref_spans.get(phrase, ()):
+                        add(i, li, j, lj, _PARAPHRASE_WEIGHT)
+    return [k + (w,) for k, w in cands.items()]
 
 
-def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None, synonyms=None):
-    if not hyp_toks or not ref_toks:
-        return 0.0
-    matches = _meteor_align(hyp_toks, ref_toks, paraphrases, synonyms)
+def _alignment_stats(matches):
+    """(covered_words, chunks, distance, weight_sum) of a one-to-one match
+    set — the meteor-1.5 resolution objective, lexicographic: maximize
+    words covered across both sentences, minimize chunks (contiguous,
+    identically-ordered match runs), minimize summed |h_start - r_start|;
+    weight_sum (maximized) breaks remaining ties deterministically in
+    favor of higher-priority matcher stages."""
+    ms = sorted(matches)
+    cov = sum(m[1] + m[3] for m in ms)
+    chunks = 0
+    dist = 0
+    wsum = 0.0
+    ph = pr = -1
+    for h, hl, r, rl, w in ms:
+        if not (h == ph and r == pr):
+            chunks += 1
+        ph, pr = h + hl, r + rl
+        dist += abs(h - r)
+        wsum += w * (hl + rl)
+    return cov, chunks, dist, wsum
+
+
+def _resolve_alignment(cands, n_hyp):
+    """Meteor-1.5 alignment resolution (Denkowski & Lavie 2014 §2;
+    the jar's Aligner): beam search over hypothesis positions choosing
+    the one-to-one, non-overlapping subset of candidate matches that
+    (1) maximizes covered words over both sentences, (2) minimizes
+    chunks, (3) minimizes total match start distance, (4, deterministic
+    tiebreak) maximizes total matcher weight.  Beam width 40 (the
+    jar's) — exhaustive for short sentences (see the brute-force oracle
+    in tests/test_tokenizer_meteor.py)."""
+    from collections import defaultdict
+    by_start = defaultdict(list)
+    for m in cands:
+        by_start[m[0]].append(m)
+    # state: (cov, chunks, dist, wsum, r_mask, prev_h_end, prev_r_end,
+    #         matches)
+    init = (0, 0, 0, 0.0, 0, -1, -1, ())
+    states = {0: [init]}
+    key = (lambda st: (-st[0], st[1], st[2], -st[3]))
+    for pos in range(n_hyp):
+        cur = states.pop(pos, [])
+        if not cur:
+            continue
+        cur.sort(key=key)
+        del cur[_ALIGNER_BEAM:]
+        nxt = states.setdefault(pos + 1, [])
+        for st in cur:
+            cov, ch, dist, wsum, rmask, phe, pre, ms = st
+            nxt.append(st)                    # hyp word at pos unmatched
+            for m in by_start.get(pos, ()):
+                h, hl, r, rl, w = m
+                mmask = ((1 << rl) - 1) << r
+                if rmask & mmask:
+                    continue
+                nst = (cov + hl + rl,
+                       ch + (0 if (h == phe and r == pre) else 1),
+                       dist + abs(h - r), wsum + w * (hl + rl),
+                       rmask | mmask, h + hl, r + rl, ms + (m,))
+                states.setdefault(pos + hl, []).append(nst)
+    final = states.get(n_hyp, [])
+    if not final:
+        return (), 0
+    best = min(final, key=key)
+    return best[7], best[1]
+
+
+def _score_alignment(hyp_toks, ref_toks, matches, chunks):
+    """Meteor-1.5 score of a resolved alignment: delta-weighted P/R over
+    content/function words, alpha-F-mean, gamma*frag^beta fragmentation
+    penalty with frag = chunks / mean covered words per side."""
     if not matches:
         return 0.0
     fwords = _active_function_words()
+
+    h_w: dict = {}
+    r_w: dict = {}
+    for h, hl, r, rl, w in matches:
+        for k in range(hl):
+            h_w[h + k] = w
+        for k in range(rl):
+            r_w[r + k] = w
 
     def weighted_count(toks, idx_weights):
         content = fn = 0.0
@@ -618,13 +667,6 @@ def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None, synonyms=None):
         c = sum(1 for t in toks if t not in fwords)
         return c, len(toks) - c
 
-    # phrase matches can repeat an index across pseudo-pairs: weight each
-    # covered token once (its matcher weight)
-    h_w: dict = {}
-    r_w: dict = {}
-    for i, j, w in matches:
-        h_w[i] = max(h_w.get(i, 0.0), w)
-        r_w[j] = max(r_w.get(j, 0.0), w)
     h_c, h_f = weighted_count(hyp_toks, h_w)
     r_c, r_f = weighted_count(ref_toks, r_w)
     th_c, th_f = totals(hyp_toks)
@@ -638,20 +680,21 @@ def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None, synonyms=None):
         return 0.0
     f_mean = P * R / (_M_ALPHA * P + (1 - _M_ALPHA) * R)
 
-    # fragmentation: count chunks of contiguous, order-preserving matches
-    # (steps of <=1 on both sides stay in-chunk so a phrase pseudo-run with
-    # repeated indices counts as one chunk)
-    chunks = 1
-    for k in range(1, len(matches)):
-        i0, j0, _ = matches[k - 1]
-        i1, j1, _ = matches[k]
-        if not (0 <= i1 - i0 <= 1 and 0 <= j1 - j0 <= 1):
-            chunks += 1
     # meteor-1.5 fragmentation denominator: average covered words per side
     avg_matches = (len(h_w) + len(r_w)) / 2.0
     frag = chunks / avg_matches
     penalty = _M_GAMMA * (frag ** _M_BETA)
     return f_mean * (1.0 - penalty)
+
+
+def _meteor_sentence(hyp_toks, ref_toks, paraphrases=None, synonyms=None):
+    if not hyp_toks or not ref_toks:
+        return 0.0
+    cands = _collect_matches(hyp_toks, ref_toks, paraphrases, synonyms)
+    if not cands:
+        return 0.0
+    matches, chunks = _resolve_alignment(cands, len(hyp_toks))
+    return _score_alignment(hyp_toks, ref_toks, matches, chunks)
 
 
 def meteor_compute_score(gts, res):

@@ -169,3 +169,124 @@ def test_meteor_synonym_stage(tmp_path, monkeypatch):
     exact_mean, _ = S.meteor_compute_score({'a': ['cook the pot']},
                                            {'a': ['cook the pot']})
     assert syn[0] < exact_mean
+
+
+# ---------------------------------------------------------------------------
+# Exact alignment resolution: brute-force oracle
+# ---------------------------------------------------------------------------
+
+def _brute_force_resolve(cands, hyp, ref):
+    """Exhaustive optimum of the published meteor-1.5 resolution objective
+    (max covered words, min chunks, min distance, max weight): the oracle
+    the beam search must reproduce on short sentences."""
+    best_key, best = None, ((), 0)
+    n = len(cands)
+
+    def rec(idx, hmask, rmask, chosen):
+        nonlocal best_key, best
+        if idx == n:
+            cov, chunks, dist, wsum = S._alignment_stats(chosen)
+            key = (-cov, chunks, dist, -wsum)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (tuple(sorted(chosen)), chunks)
+            return
+        rec(idx + 1, hmask, rmask, chosen)
+        h, hl, r, rl, _w = cands[idx]
+        hm = ((1 << hl) - 1) << h
+        rm = ((1 << rl) - 1) << r
+        if not (hmask & hm) and not (rmask & rm):
+            rec(idx + 1, hmask | hm, rmask | rm, chosen + [cands[idx]])
+
+    rec(0, 0, 0, [])
+    return best
+
+
+def test_meteor_beam_matches_bruteforce_oracle(monkeypatch):
+    """The beam aligner equals the exhaustive optimum over every pair of
+    short sentences from a small ambiguous vocabulary (repeated words force
+    crossing/one-to-one resolution decisions a greedy matcher gets wrong)."""
+    import itertools
+
+    for var in ('DVC_METEOR_WORDNET', 'DVC_METEOR_JAR',
+                'DVC_METEOR_PARAPHRASE'):
+        monkeypatch.delenv(var, raising=False)
+    vocab = ['stir', 'the', 'pot', 'stirs']
+    checked = 0
+    for lh in (1, 2, 3):
+        for lr in (1, 2, 3):
+            for hyp in itertools.product(vocab, repeat=lh):
+                for ref in itertools.product(vocab, repeat=lr):
+                    cands = S._collect_matches(list(hyp), list(ref))
+                    if not cands:
+                        continue
+                    got_m, got_ch = S._resolve_alignment(cands, lh)
+                    exp_m, exp_ch = _brute_force_resolve(cands, hyp, ref)
+                    got = S._score_alignment(list(hyp), list(ref),
+                                             tuple(sorted(got_m)), got_ch)
+                    exp = S._score_alignment(list(hyp), list(ref),
+                                             exp_m, exp_ch)
+                    assert S._alignment_stats(got_m) == \
+                        S._alignment_stats(exp_m), (hyp, ref)
+                    assert got == exp, (hyp, ref, got_m, exp_m)
+                    checked += 1
+    assert checked > 1000
+
+
+def test_meteor_beam_oracle_with_paraphrases(tmp_path, monkeypatch):
+    """Oracle parity holds with phrase (multi-word) paraphrase matches in
+    play — the case where span overlap resolution actually bites."""
+    import itertools
+
+    for var in ('DVC_METEOR_WORDNET', 'DVC_METEOR_JAR',
+                'DVC_METEOR_PARAPHRASE'):
+        monkeypatch.delenv(var, raising=False)
+    p = tmp_path / 'para.txt'
+    p.write_text('stir the ||| mix the\nthe pot ||| the pan\n'
+                 'stir ||| mix\npot ||| pan\n')
+    table = S.load_paraphrase_table(str(p))
+    vocab = ['stir', 'the', 'pot', 'mix', 'pan']
+    rng_pairs = itertools.islice(
+        ((h, r) for h in itertools.product(vocab, repeat=3)
+         for r in itertools.product(vocab, repeat=3)), 0, None, 7)
+    checked = 0
+    for hyp, ref in rng_pairs:
+        cands = S._collect_matches(list(hyp), list(ref), paraphrases=table)
+        if not cands:
+            continue
+        got_m, got_ch = S._resolve_alignment(cands, 3)
+        exp_m, exp_ch = _brute_force_resolve(cands, hyp, ref)
+        got = S._score_alignment(list(hyp), list(ref),
+                                 tuple(sorted(got_m)), got_ch)
+        exp = S._score_alignment(list(hyp), list(ref), exp_m, exp_ch)
+        assert S._alignment_stats(got_m) == S._alignment_stats(exp_m), \
+            (hyp, ref)
+        assert got == exp, (hyp, ref, got_m, exp_m)
+        checked += 1
+    assert checked > 1500
+
+
+def test_meteor_crossing_alignment_beats_greedy():
+    """'b a' vs 'a b': both words match; the resolved alignment must keep
+    both (coverage first) and count 2 chunks (crossed)."""
+    cands = S._collect_matches(['b', 'a'], ['a', 'b'])
+    matches, chunks = S._resolve_alignment(cands, 2)
+    assert len(matches) == 2 and chunks == 2
+    # identical order: 1 chunk
+    cands = S._collect_matches(['a', 'b'], ['a', 'b'])
+    matches, chunks = S._resolve_alignment(cands, 2)
+    assert len(matches) == 2 and chunks == 1
+
+
+def test_meteor_repeated_word_minimizes_chunks():
+    """hyp 'a x a' vs ref 'a a x': coverage first (all 3 words pair), then
+    chunks — a0->a1,x1->x2 form one contiguous run, so the optimum is
+    2 chunks (a naive left-to-right greedy pairs a0->a0 and lands on 3)."""
+    hyp, ref = ['a', 'x', 'a'], ['a', 'a', 'x']
+    cands = S._collect_matches(hyp, ref)
+    matches, chunks = S._resolve_alignment(cands, 3)
+    assert len(matches) == 3
+    cov, ch, dist, _ = S._alignment_stats(matches)
+    assert cov == 6
+    assert ch == chunks == 2
+    assert dist == 4    # chunks dominate: beats the dist-2, 3-chunk pairing
