@@ -49,11 +49,10 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ms_deform_attn import _level_starts
+from .ms_deform_attn import _bounds_table_np, _lerp_onehot_pair
 
 # the backward's per-cell working set ((H, LP, Q, A) attention
 # intermediates plus the (H, QLP, S) one-hot pair) exceeds Mosaic's 16 MB
@@ -151,28 +150,22 @@ def _make_dot(precision):
 
 
 def _bounds_np(temporal_shapes, Q, P):
-    """Per-(q, l, p) flat vectors: level-relative clamp bound (T_l - 1) and
-    integer level start — static functions of the level table, baked at
-    trace time.  Positions stay level-relative in f32 (floor/lerp exactly
-    as the per-level formulation — adding the start before floor would
-    cost ulps at large S); the start shifts the *integer* index only."""
-    starts = _level_starts(temporal_shapes)
-    L = len(temporal_shapes)
-    hib = np.zeros((Q, L, P), np.float32)
-    s0v = np.zeros((Q, L, P), np.int32)
-    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
-        hib[:, l, :] = T - 1
-        s0v[:, l, :] = s0
+    """Flat (Q*L*P,) view of the shared level-bounds table
+    (:func:`ms_deform_attn._bounds_table_np` — single source of the
+    boundary semantics for both fused-sampling kernel families)."""
+    hib, s0v = _bounds_table_np(temporal_shapes, Q, P)
     return hib.reshape(-1), s0v.reshape(-1)
 
 
 def _level_pos(loc, temporal_shapes):
     """loc: (B, Q, H, L, P) normalized per-level locations -> level-relative
     continuous positions (B, H, Q·L·P) in (q, l, p) order: pos = loc·T_l
-    - 0.5 (the level start is applied to the integer index in-kernel)."""
+    - 0.5 (the level start is applied to the integer index in-kernel).
+    Computed in float32 regardless of loc.dtype: at bf16 a position near
+    T~400 has absolute spacing ~2, destroying the lerp fraction."""
     B, Q, H, L, P = loc.shape
-    t_vec = jnp.asarray(temporal_shapes, loc.dtype)
-    pos = loc * t_vec[None, None, None, :, None] - 0.5
+    t_vec = jnp.asarray(temporal_shapes, jnp.float32)
+    pos = loc.astype(jnp.float32) * t_vec[None, None, None, :, None] - 0.5
     return pos.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * L * P)
 
 
@@ -182,15 +175,7 @@ def _interp_onehots(pos, hib, s0v, S):
     Returns (M, M_lo, M_hi), each (H, N, S): the lerp one-hot pair and
     their weighted sum.  Vectorized over heads — one iota/compare build
     for the whole cell."""
-    H, N = pos.shape
-    i_lo = jnp.floor(pos)
-    w_hi = pos - i_lo
-    w_lo = 1.0 - w_hi
-    idx_lo = jnp.clip(i_lo, 0.0, hib).astype(jnp.int32) + s0v
-    idx_hi = jnp.clip(i_lo + 1.0, 0.0, hib).astype(jnp.int32) + s0v
-    iota = jax.lax.broadcasted_iota(jnp.int32, (H, N, S), 2)
-    M_lo = (idx_lo[..., None] == iota).astype(jnp.float32)
-    M_hi = (idx_hi[..., None] == iota).astype(jnp.float32)
+    _, w_lo, w_hi, M_lo, M_hi = _lerp_onehot_pair(pos, hib, s0v, S)
     M = w_lo[..., None] * M_lo + w_hi[..., None] * M_hi
     return M, M_lo, M_hi
 

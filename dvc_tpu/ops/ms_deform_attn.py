@@ -53,6 +53,45 @@ def _level_starts(temporal_shapes: Sequence[int]) -> list[int]:
     return starts
 
 
+def _bounds_table_np(temporal_shapes, Q, P):
+    """Per-(q, l, p) tables (Q, L, P): level-relative clamp bound (T_l - 1,
+    f32) and integer level start (i32) — static functions of the level
+    table, baked at trace time.  Shared by the fused MSDA backward and the
+    DSA caption-step kernels so their boundary semantics cannot diverge.
+    Positions stay level-relative in f32 (floor/lerp exactly as the
+    per-level formulation — adding the start before floor would cost ulps
+    at large S); the start shifts the *integer* index only."""
+    starts = _level_starts(temporal_shapes)
+    L = len(temporal_shapes)
+    hib = np.zeros((Q, L, P), np.float32)
+    s0v = np.zeros((Q, L, P), np.int32)
+    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
+        hib[:, l, :] = T - 1
+        s0v[:, l, :] = s0
+    return hib, s0v
+
+
+def _lerp_onehot_pair(pos, hib, s0v, S):
+    """Shared lerp/one-hot construction for the level-merged sampling
+    layout (in-kernel).  pos: (..., N) level-relative continuous
+    positions; hib/s0v broadcastable against pos (clamp bound T_l - 1 and
+    integer level start from :func:`_bounds_table_np`).
+
+    Returns ``(i_lo, w_lo, w_hi, M_lo, M_hi)``: floor tap, lerp weights,
+    and the (..., N, S) one-hot pair over the flattened level axis, with
+    out-of-range taps clamped to the level border (callers apply
+    zeros-mode masking from ``i_lo`` when needed)."""
+    i_lo = jnp.floor(pos)
+    w_hi = pos - i_lo
+    w_lo = 1.0 - w_hi
+    idx_lo = jnp.clip(i_lo, 0.0, hib).astype(jnp.int32) + s0v
+    idx_hi = jnp.clip(i_lo + 1.0, 0.0, hib).astype(jnp.int32) + s0v
+    iota = jax.lax.broadcasted_iota(jnp.int32, pos.shape + (S,), pos.ndim)
+    M_lo = (idx_lo[..., None] == iota).astype(jnp.float32)
+    M_hi = (idx_hi[..., None] == iota).astype(jnp.float32)
+    return i_lo, w_lo, w_hi, M_lo, M_hi
+
+
 def _tap_indices_weights(loc, T, mode):
     """Linear-interp taps for normalized locations at a level of length T.
 
@@ -380,15 +419,9 @@ def _bwd_impl():
 
 
 def _flat_bounds_np(temporal_shapes, Q, P):
-    """Per-(q, l, p) matrices (Q, L*P): level-relative clamp bound (T_l - 1)
-    and integer level start — static functions of the level table."""
-    starts = _level_starts(temporal_shapes)
+    """(Q, L*P) view of :func:`_bounds_table_np` for the bwd kernel."""
+    hib, s0v = _bounds_table_np(temporal_shapes, Q, P)
     L = len(temporal_shapes)
-    hib = np.zeros((Q, L, P), np.float32)
-    s0v = np.zeros((Q, L, P), np.int32)
-    for l, (T, s0) in enumerate(zip(temporal_shapes, starts)):
-        hib[:, l, :] = T - 1
-        s0v[:, l, :] = s0
     return hib.reshape(Q, L * P), s0v.reshape(Q, L * P)
 
 
@@ -405,14 +438,7 @@ def _msda_bwd_kernel(value_ref, pos_ref, attn_ref, hib_ref, s0v_ref, g_ref,
     value = value_ref[0, 0]                              # (S, D)
     g = g_ref[0, 0]                                      # (Q, D)
 
-    i_lo = jnp.floor(pos)
-    w_hi = pos - i_lo
-    w_lo = 1.0 - w_hi
-    idx_lo = jnp.clip(i_lo, 0.0, hib).astype(jnp.int32) + s0v
-    idx_hi = jnp.clip(i_lo + 1.0, 0.0, hib).astype(jnp.int32) + s0v
-    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, LP, S), 2)
-    M_lo = (idx_lo[..., None] == iota).astype(jnp.float32)
-    M_hi = (idx_hi[..., None] == iota).astype(jnp.float32)
+    i_lo, w_lo, w_hi, M_lo, M_hi = _lerp_onehot_pair(pos, hib, s0v, S)
     if mode == "zeros":
         # masked weights: out-of-range taps contribute 0 and their lerp
         # weight's pos-derivative is 0 (matches autodiff of the dense form)

@@ -364,13 +364,18 @@ def main():
     overrides = {}
     for kv in args.set:
         k, _, v = kv.partition('=')
-        try:
-            v = int(v)
-        except ValueError:
+        if v.lower() in ('true', 'false'):
+            v = v.lower() == 'true'
+        else:
             try:
-                v = float(v)
+                v = int(v)
             except ValueError:
-                pass
+                try:
+                    v = float(v)
+                except ValueError:
+                    raise SystemExit(
+                        f'--set {kv}: value must be int/float/true/false '
+                        '(a bare string would silently pass as truthy)')
         overrides[k] = v
 
     results = {'batch': args.batch, 'backend': jax.default_backend(),
