@@ -113,7 +113,24 @@ def main():
     dt = timed(n2) - timed(n1)
 
     vps = (n2 - n1) * B / dt
-    print(json.dumps({
+    step_s = dt / (n2 - n1)
+
+    # MFU / roofline: XLA cost analysis of the single compiled train step
+    # against the chip's bf16 peak (judging criterion; BENCHMARKS.md
+    # "Roofline" section).  Guarded — a missing cost-analysis impl or a
+    # flaky tunnel must not lose the throughput number.
+    roof = None
+    if os.environ.get('BENCH_MFU', '1') != '0':
+        try:
+            from dvc_tpu.utils.roofline import compiled_costs, roofline
+            costs = compiled_costs(
+                lambda p, o, b: step(p, o, b, lr, ssp, rng),
+                state['params'], state['opt_state'], batch)
+            roof = roofline(costs, step_s)
+        except Exception:
+            roof = None
+
+    rec = {
         'metric': 'train_throughput_videos_per_sec_per_chip',
         'value': round(vps, 3),
         'unit': 'videos/s',
@@ -122,7 +139,16 @@ def main():
                           f'{NOMINAL_REF_VPS} videos/s for the reference '
                           'torch loop (no published throughput); see '
                           'BENCHMARKS.md'),
-    }))
+        'step_ms': round(step_s * 1e3, 3),
+        'batch': B,
+    }
+    if roof:
+        rec['mfu'] = roof['mfu']
+        rec['flops_per_step'] = roof['flops_per_step']
+        if 'hbm_util' in roof:
+            rec['hbm_util'] = roof['hbm_util']
+            rec['roofline_pct'] = roof['roofline_pct']
+    print(json.dumps(rec))
 
 
 if __name__ == '__main__':
