@@ -16,6 +16,9 @@ if __name__ == '__main__':
                    help='inner dataset key per video (e.g. c3d_features); '
                         'omit when the h5 maps video -> array directly')
     p.add_argument('--out', required=True)
+    p.add_argument('--prefix', default='',
+                   help="prepend to each video id (the reference's TSP "
+                        "converter adds 'v_' to bare YouTube ids)")
     args = p.parse_args()
 
     import h5py
@@ -25,7 +28,8 @@ if __name__ == '__main__':
     with h5py.File(args.h5, 'r') as f:
         for vid in f.keys():
             arr = f[vid][args.key] if args.key else f[vid]
-            np.save(os.path.join(args.out, vid[:13] + '.npy'),
+            name = (args.prefix + vid)[:13]
+            np.save(os.path.join(args.out, name + '.npy'),
                     np.asarray(arr))
             n += 1
     print(f'{n} videos -> {args.out}')
