@@ -227,6 +227,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help='fuse the caption LSTM cell into the DSA sample+attend '
              'kernel (single-layer heads; default off until hardware-'
              'validated — see caption_heads.DSACaptionHead.lstm_fuse)')
+    add('--dsa_scan_fuse', type=int, default=0,
+        help='run the WHOLE teacher-forcing word scan as one Pallas '
+             'launch (ops/dsa_scan.py: LSTM state in VMEM scratch, value '
+             'read once per video; train path only). Default off until '
+             'hardware-validated')
     add('--caption_len_bucketing', type=int, default=1,
         help='slice caption tensors to the batch max length (exact-'
              'equivalent; fewer teacher-forcing scan steps)')
@@ -241,6 +246,22 @@ def _build_parser() -> argparse.ArgumentParser:
              'device_put overlaps the running step (applies when '
              'steps_per_dispatch=1; K>1 ships K stacked batches per '
              'dispatch instead)')
+    add('--streaming_features', type=int, default=0,
+        help='decode videos and run the TSP backbone at load time '
+             '(dvc_tpu/data/streaming.py) instead of reading '
+             'pre-extracted .npy features — no disk round trip; '
+             'requires --video_folder')
+    add('--video_folder', type=str, default=None,
+        help='directory of raw videos for --streaming_features')
+    add('--tsp_checkpoint', type=str, default=None,
+        help='TSP backbone weights (.ckpt or torch .pth) for '
+             'streaming extraction')
+    add('--extraction_dtype', type=str, default='bfloat16',
+        choices=['float32', 'bfloat16'],
+        help='compute dtype of the streaming/batch feature extractor')
+    add('--streaming_cache', type=int, default=4096,
+        help='in-memory LRU capacity (videos) for streamed features; '
+             '0 recomputes every epoch (joint-training regime)')
     return p
 
 

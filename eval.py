@@ -80,6 +80,19 @@ def main():
             ds, args.eval_batch_size or opt.batch_size_for_eval,
             shuffle=False, opt=opt)
         trainer = make_fusion_trainer(opt)
+    elif getattr(opt, 'streaming_features', 0) and not args.eval_feature_folder:
+        # streaming-trained runs evaluate the same way: decode + TSP in
+        # process, no feature files (dvc_tpu/data/streaming.py); passing
+        # --eval_feature_folder overrides back to the file path
+        from dvc_tpu.data.streaming import StreamingFeatureDataset
+        ds = StreamingFeatureDataset(
+            caption_file, opt.video_folder, opt.dict_file,
+            is_training=False, opt=opt,
+            cache_size=getattr(opt, 'streaming_cache', 4096))
+        loader = BatchLoader(ds,
+                             args.eval_batch_size or opt.batch_size_for_eval,
+                             shuffle=False, opt=opt)
+        trainer = Trainer(opt)
     else:
         ds = DenseCaptionDataset(caption_file, feature_folder, opt.dict_file,
                                  is_training=False, opt=opt)

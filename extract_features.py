@@ -68,11 +68,7 @@ def load_videos(args):
 
 def main():
     args = parse_args()
-    import jax
-    import jax.numpy as jnp
-
-    from dvc_tpu.data.video_clips import ClipBatcher, make_clip_table
-    from dvc_tpu.models.tsp import TSPModel
+    from dvc_tpu.models.tsp import FeatureExtractor
     from dvc_tpu.train.trainer import enable_compilation_cache
 
     enable_compilation_cache()
@@ -82,53 +78,8 @@ def main():
               if i % args.num_shards == args.shard_id]
     print(f'shard {args.shard_id}/{args.num_shards}: {len(videos)} videos')
 
-    model = TSPModel(backbone=args.backbone, num_classes=(1,), num_heads=1)
-    spec_hw = {'mvit_v2_s': 224}.get(args.backbone, 112)
-    dummy = jnp.zeros((1, args.clip_len, spec_hw, spec_hw, 3))
-    variables = model.init(jax.random.PRNGKey(0), dummy)
-
-    if args.local_checkpoint:
-        if args.local_checkpoint.endswith('.pth'):
-            from dvc_tpu.models.tsp import (convert_mvit,
-                                            convert_videoresnet,
-                                            load_torch_state_dict)
-            sd = load_torch_state_dict(args.local_checkpoint)
-            if args.backbone == 'mvit_v2_s':
-                params, heads = convert_mvit(
-                    sd, variables['params']['features'])
-                new_params = {**variables['params'], 'features': params}
-                for fc, tree in heads.items():
-                    if fc in new_params:
-                        new_params[fc] = tree
-                variables = {'params': new_params}
-            else:
-                layers = {'r2plus1d_34': (3, 4, 6, 3)}.get(
-                    args.backbone, (2, 2, 2, 2))
-                conv_type = ('r3d' if args.backbone == 'r3d_18'
-                             else 'r2plus1d')
-                params, stats = convert_videoresnet(sd, layers, conv_type)
-                variables = {'params': {**variables['params'],
-                                        'features': params},
-                             'batch_stats': {'features': stats}}
-        else:
-            import pickle
-            with open(args.local_checkpoint, 'rb') as f:
-                variables = pickle.load(f)['variables']
-
-    if args.dtype == 'bfloat16':
-        # inference-only cast: flax modules infer compute dtype from inputs
-        variables = jax.tree_util.tree_map(
-            lambda v: v.astype(jnp.bfloat16)
-            if hasattr(v, 'dtype') and jnp.issubdtype(v.dtype, jnp.floating)
-            else v, variables)
-    variables = jax.device_put(variables, jax.devices()[0])
-
-    @jax.jit
-    def features_fn(x):
-        if args.dtype == 'bfloat16':
-            x = x.astype(jnp.bfloat16)
-        _, feats = model.apply(variables, x, return_features=True)
-        return feats.astype(jnp.float32)
+    extractor = FeatureExtractor(args.backbone, args.local_checkpoint,
+                                 clip_len=args.clip_len, dtype=args.dtype)
 
     for v in videos:
         vid = os.path.splitext(os.path.basename(v['filename']))[0]
@@ -136,18 +87,13 @@ def main():
         if os.path.exists(out_path):
             print(f'already computed: {vid}')
             continue
-        clips = make_clip_table(v['filename'], v['fps'], v['frames'],
-                                args.clip_len, args.frame_rate, args.stride)
-        if not clips:
+        feats = extractor.extract_video(
+            v['filename'], v['fps'], v['frames'],
+            frame_rate=args.frame_rate, stride=args.stride,
+            batch_size=args.batch_size)
+        if not len(feats):
             print(f'no clips for {vid}')
             continue
-        feats = []
-        batcher = ClipBatcher(clips, args.batch_size, args.clip_len,
-                              args.frame_rate, args.backbone)
-        for x, n, _ in batcher:
-            f = np.asarray(features_fn(jnp.asarray(x)))[:n]
-            feats.append(f)
-        feats = np.concatenate(feats)
         np.save(out_path, feats)
         print(f'{vid}: {feats.shape} -> {out_path}')
 

@@ -51,12 +51,30 @@ def train(opt):
             best_epoch = info.get('best', {}).get('epoch', epoch)
             logger.info(f'resuming from epoch {epoch}')
 
-    train_dataset = DenseCaptionDataset(
-        opt.train_caption_file, opt.visual_feature_folder, opt.dict_file,
-        is_training=True, opt=opt, seed=opt.seed)
-    val_dataset = DenseCaptionDataset(
-        opt.val_caption_file, opt.visual_feature_folder, opt.dict_file,
-        is_training=False, opt=opt, seed=opt.seed)
+    if getattr(opt, 'streaming_features', 0):
+        # decode -> TSP features -> train in one process, no .npy round
+        # trip (the reference's ete path shells out to the extractor and
+        # re-reads files, ete/eval.py:144-194)
+        from dvc_tpu.data.streaming import StreamingFeatureDataset
+        if not opt.video_folder:
+            raise ValueError('--streaming_features requires --video_folder')
+        train_dataset = StreamingFeatureDataset(
+            opt.train_caption_file, opt.video_folder, opt.dict_file,
+            is_training=True, opt=opt, seed=opt.seed,
+            cache_size=opt.streaming_cache)
+        # eval shares the extractor (and its cache) with training
+        val_dataset = StreamingFeatureDataset(
+            opt.val_caption_file, opt.video_folder, opt.dict_file,
+            is_training=False, opt=opt, seed=opt.seed,
+            extractor=train_dataset.extractor,
+            cache_size=opt.streaming_cache)
+    else:
+        train_dataset = DenseCaptionDataset(
+            opt.train_caption_file, opt.visual_feature_folder, opt.dict_file,
+            is_training=True, opt=opt, seed=opt.seed)
+        val_dataset = DenseCaptionDataset(
+            opt.val_caption_file, opt.visual_feature_folder, opt.dict_file,
+            is_training=False, opt=opt, seed=opt.seed)
     # per-host input sharding (DistributedSampler equivalent): on a
     # jax.distributed multi-host runtime each host feeds its own slice
     pidx, pcnt = ((jax.process_index(), jax.process_count())
