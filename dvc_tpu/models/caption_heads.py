@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ms_deform_attn_sample_values
+from ..ops.dsa_scan import dsa_teacher_scan
 from ..ops.dsa_step import dsa_lstm_step, dsa_sample_attend
 from ..ops.embed import embed_lookup
 from .deformable_transformer import msda_offset_bias_init
@@ -324,6 +325,15 @@ class DSACaptionHead(_CaptionHeadBase):
     # --dsa_lstm_fuse 1 / this attr after
     # `python tools/bench_honest.py --what lstm` succeeds on hardware
     lstm_fuse: bool = False
+    # run the WHOLE teacher-forcing word scan as one pallas_call
+    # (ops/dsa_scan.py): LSTM state lives in VMEM scratch across steps,
+    # `value` is read from HBM once per video instead of once per word
+    # step, and the backward scan accumulates dvalue/weight grads
+    # in-VMEM.  Train-path only (greedy/scheduled-sampling feedback needs
+    # stepwise decode); requires num_layers == 1 and att_hid_size > 0.
+    # Default OFF pending hardware validation (same posture as lstm_fuse);
+    # flip via --dsa_scan_fuse after tools/hw_validate.py --stage scan
+    scan_fuse: bool = False
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -440,12 +450,80 @@ class DSACaptionHead(_CaptionHeadBase):
             return _LSTMParams.step_pre(lstm, z0 + ctx @ ctx_w, state)
         return (embed, token_w, const_ih, logit, run)
 
+    def _fused_teacher_forcing(self, query, ref_center, offset_scale,
+                               memory, temporal_shapes, pad_mask, seq,
+                               deterministic):
+        """Whole-scan fused path (ops/dsa_scan.py): hoist everything
+        step-invariant, one launch for all K word steps, then the batched
+        vocab projection.  Declares the same parameters as ``_make_core``
+        (flax params are name-keyed, so the two paths share weights)."""
+        cfg = self.cfg
+        B, Pq, d = query.shape
+        H = cfg.cap_nheads
+        L = cfg.cap_num_feature_levels
+        P = cfg.cap_dec_n_points
+        Dh = d // H
+        R = cfg.rnn_size
+        E = cfg.input_encoding_size
+        n = B * Pq
+        embed, logit, lstm = self._common_params(E + 2 * d)
+        off_w, off_b, val_w, val_b, att = self._dsa_params()
+
+        value = memory @ val_w + val_b
+        if pad_mask is not None:
+            value = jnp.where(pad_mask[..., None], 0.0, value)
+        value_t = value.reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)
+
+        # fold the step-invariant offset share into the base positions
+        # (pos = (ref + off*scale)·T - 0.5 with off = off_const + h@W):
+        # base carries ref + off_const·scale, the kernel adds h@W·scale.
+        # f32 throughout — bf16 positions at T~400 destroy the lerp.
+        off_const = (query @ off_w[R:] + off_b).reshape(B, Pq, H, L, P)
+        t_vec = jnp.asarray(temporal_shapes, jnp.float32)
+        ref32 = ref_center.astype(jnp.float32)[:, :, None, :, None]
+        scale32 = offset_scale.astype(jnp.float32)[:, :, None, :, None]
+        base = ((ref32 + off_const.astype(jnp.float32) * scale32)
+                * t_vec[None, None, None, :, None] - 0.5)
+        base_pos = base.transpose(0, 2, 1, 3, 4).reshape(B, H, Pq, L * P)
+        scale_t = (offset_scale.astype(jnp.float32)[:, :, :, None]
+                   * t_vec[None, None, :, None])
+        scale_t = jnp.broadcast_to(
+            scale_t, (B, Pq, L, P)).reshape(B, Pq, L * P)
+
+        w_ih0, w_hh = lstm[0]
+        token_w = w_ih0[:E]
+        ctx_w3 = w_ih0[E:E + d].reshape(H, Dh, 4 * R)
+        const_ih = query.reshape(n, d) @ w_ih0[E + d:]
+        K = seq.shape[-1] - 1
+        z_all = (embed_lookup(embed, seq[:, :-1]) @ token_w
+                 + const_ih[:, None, :])                  # (n, K, 4R)
+        z_all = z_all.reshape(B, Pq, K, 4 * R).transpose(0, 2, 1, 3)
+        off_w_h = off_w[:R].reshape(R, H, L * P).transpose(1, 0, 2)
+
+        hs = dsa_teacher_scan(
+            value_t, base_pos, scale_t, z_all, off_w_h,
+            att['h2att_w'], att['h2att_b'], att['ctx2att_w'],
+            att['ctx2att_b'], att['alpha_w'][:, 0], att['alpha_b'][0],
+            ctx_w3, w_hh, tuple(temporal_shapes), impl=self.att_impl,
+            precision=self.att_precision)                 # (B, K, Pq, R)
+        hs = hs.transpose(0, 2, 1, 3).reshape(n, K, R)
+        drop_base = (self.make_rng('dropout')
+                     if not deterministic else jax.random.PRNGKey(0))
+        return self._logprobs(hs, logit, drop_base, deterministic)
+
     @nn.compact
     def __call__(self, query, ref_center, offset_scale, memory,
                  temporal_shapes, pad_mask, seq=None, ss_prob=0.0,
                  deterministic=True, mode='forward', ss_enabled=None):
         if ss_enabled is None:
             ss_enabled = not deterministic
+        cfg = self.cfg
+        if (mode == 'forward' and self.scan_fuse and not ss_enabled
+                and cfg.att_hid_size > 0 and cfg.num_layers == 1):
+            return self._fused_teacher_forcing(
+                query, ref_center, offset_scale, memory, temporal_shapes,
+                pad_mask, seq.reshape(query.shape[0] * query.shape[1], -1),
+                deterministic)
         core = self._make_core(query, ref_center, offset_scale, memory,
                                temporal_shapes, pad_mask)
         n = query.shape[0] * query.shape[1]

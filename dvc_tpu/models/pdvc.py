@@ -66,6 +66,7 @@ class PDVCConfig:
     compute_dtype: str = 'float32'
     seq_shard: bool = False
     lstm_fuse: bool = False
+    scan_fuse: bool = False
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -103,6 +104,7 @@ class PDVCConfig:
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
             lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
+            scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -199,7 +201,8 @@ class PDVC(nn.Module):
                 # bf16 MXU matmuls inside the fused DSA kernel follow the
                 # model-wide compute dtype (accumulation stays f32)
                 'att_precision': c.compute_dtype,
-                'lstm_fuse': c.lstm_fuse}
+                'lstm_fuse': c.lstm_fuse,
+                'scan_fuse': c.scan_fuse}
             if c.share_caption_head:
                 h = head_cls(c.caption, name='caption_head', **kwargs)
                 self.caption_heads = [h] * D

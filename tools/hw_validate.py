@@ -13,6 +13,7 @@ Stages (all in one process; in-graph two-point protocol throughout):
   kernel   sample+attend kernel fwd / fwd+bwd, native vs rational tanh
   lstm     fully fused word step (dsa_lstm_step), native vs rational tanh
   ab       end-to-end train + eval step, lstm_fuse off vs on
+  scan     end-to-end train step, cross-step fused word scan off vs on
   trunk    full vs fwd vs fwd+bwd bisect
   matcher  vmapped JV solves at flagship shapes
   post     device-side postprocess
@@ -52,7 +53,8 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--n1', type=int, default=8)
     ap.add_argument('--n2', type=int, default=24)
-    ap.add_argument('--stages', default='kernel,lstm,ab,trunk,matcher,post')
+    ap.add_argument('--stages',
+                    default='kernel,lstm,ab,scan,trunk,matcher,post')
     ap.add_argument('--probe-timeout', type=float, default=600)
     args = ap.parse_args()
 
@@ -96,8 +98,7 @@ def main():
         run_stage('lstm',
                   lambda: bh.bench_lstm_kernel(args.batch, args.n1, args.n2))
 
-    if 'ab' in stages or 'trunk' in stages or 'matcher' in stages \
-            or 'post' in stages:
+    if any(s in stages for s in ('ab', 'scan', 'trunk', 'matcher', 'post')):
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
 
@@ -118,6 +119,22 @@ def main():
                                              args.n1, args.n2))
                     return row
                 run_stage(f'ab_fuse{fuse}', ab)
+        if 'scan' in stages:
+            # cross-step fused word scan (ops/dsa_scan.py) A/B: the whole
+            # teacher-forcing loop in one launch vs the stepwise kernels
+            def scan_ab(fuse):
+                def run():
+                    opt = _flagship_opt(frame_embedding_num=200,
+                                        max_caption_len=20,
+                                        tpu_mesh_data=1,
+                                        dsa_scan_fuse=fuse)
+                    tr = Trainer(opt)
+                    batch = _synthetic_batch(opt, B=args.batch)
+                    return bh.bench_train(tr, batch, args.batch,
+                                          args.n1, args.n2)
+                return run
+            for fuse in (0, 1):
+                run_stage(f'scan_fuse{fuse}', scan_ab(fuse))
         tr, batch = build(0)
         if 'trunk' in stages:
             run_stage('trunk', lambda: bh.bench_trunk(
@@ -143,6 +160,11 @@ def main():
             a1['train_step_ms'] < 0.97 * a0['train_step_ms'])
         rec['lstm_fuse_wins_eval'] = bool(
             a1['eval_step_ms'] < 0.97 * a0['eval_step_ms'])
+    s0 = results.get('scan_fuse0', {})
+    s1 = results.get('scan_fuse1', {})
+    if 'train_step_ms' in s0 and 'train_step_ms' in s1:
+        rec['scan_fuse_wins_train'] = bool(
+            s1['train_step_ms'] < 0.97 * s0['train_step_ms'])
     rec['wall_s'] = round(time.time() - t0, 1)
     emit('recommendations', rec)
     if rec.get('tanh_rational_wins'):
@@ -151,6 +173,9 @@ def main():
     if rec.get('lstm_fuse_wins_train'):
         print('FLIP: default dsa_lstm_fuse on (config.py, PDVCConfig, '
               'DSACaptionHead.lstm_fuse)')
+    if rec.get('scan_fuse_wins_train'):
+        print('FLIP: default dsa_scan_fuse on (config.py, PDVCConfig, '
+              'DSACaptionHead.scan_fuse)')
     print('Update BENCHMARKS.md with the new rows and re-run bench.py.')
     return 0
 
