@@ -58,6 +58,8 @@ def main(opt):
     visited = set()
     epoch = 0
     best_val_score = -1e9
+    # per-epoch eval scores (reference newTrain.py:486 val_result_history)
+    val_history = {}
 
     info = load_info_json(save_folder) if opt.start_from else None
     loader = FusionBatchLoader(train_ds, opt.batch_size, True, opt,
@@ -87,6 +89,7 @@ def main(opt):
         epoch = ck['epoch']
         visited = set(ck.get('visited_videos', []))
         best_val_score = info.get('best_val_score', -1e9)
+        val_history = info.get('val_history', {})
         logger.info(f'resumed epoch {epoch}, {len(visited)} videos visited')
 
     rng = jax.random.PRNGKey(opt.seed)
@@ -130,12 +133,15 @@ def main(opt):
                 scores = None
             if scores is not None:
                 current = scores.get('METEOR', 0) + scores.get('soda_c', 0)
+                val_history[epoch] = {k: float(v) for k, v in scores.items()
+                                      if np.isscalar(v)}
                 if current > best_val_score:
                     best_val_score = current
                     save_checkpoint(save_folder, 'best', state, epoch)
             save_checkpoint(save_folder, 'last', state, epoch)
             save_info_json(save_folder, {
                 'best_val_score': best_val_score,
+                'val_history': val_history,
                 'last': {'epoch': epoch, 'opt': opt.to_dict()},
                 'best': {'epoch': epoch, 'opt': opt.to_dict()}})
     logger.info('Training done.')
