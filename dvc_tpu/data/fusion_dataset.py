@@ -72,6 +72,19 @@ class FusionDataset(DenseCaptionDataset):
                          is_training, opt, seed)
         self.sound_feature_folder = (sound_feature_folder or
                                      getattr(opt, 'sound_feature_folder', None))
+        # dim of the zero-fallback for missing audio (reference
+        # NewModel.py:111-114 zeroes at HuBERT's 768).  Configurable via
+        # --sound_feature_dim; when unset, learn it from any cached
+        # feature file so non-HuBERT caches keep batches
+        # dimension-consistent (a 768 fallback mixed with e.g. 16-d
+        # cached rows breaks the collate)
+        self.sound_dim = int(getattr(opt, 'sound_feature_dim', 0) or 0)
+        if not self.sound_dim and self.sound_feature_folder:
+            import glob as _glob
+            for p in _glob.glob(os.path.join(self.sound_feature_folder,
+                                             '*.npy'))[:1]:
+                self.sound_dim = int(np.load(p, mmap_mode='r').shape[1])
+        self.sound_dim = self.sound_dim or HUBERT_DIM
         self.audio_folder = audio_folder
         self.extractor = extractor
         if metadata_csv is None:
@@ -109,12 +122,15 @@ class FusionDataset(DenseCaptionDataset):
                 if os.path.exists(ap):
                     segments = self.segments_for(key13, n_clips, duration)
                     return self.extractor.extract(ap, segments, key13)
-        return np.zeros((n_clips, HUBERT_DIM), np.float32)
+        return np.zeros((n_clips, self.sound_dim), np.float32)
 
     def __getitem__(self, idx: int):
         s = super().__getitem__(idx)
         n_clips = s['feats'].shape[0]
         sound = self.load_sound(s['key'], n_clips, s['duration'])
+        assert sound.shape[1] == self.sound_dim, (
+            f'sound features for {s["key"]} are {sound.shape[1]}-d but the '
+            f'run expects {self.sound_dim} (set --sound_feature_dim)')
         if sound.shape[0] != n_clips:
             sound = resize_feature(sound, n_clips, 'nearest')
         s['sound'] = sound.astype(np.float32)

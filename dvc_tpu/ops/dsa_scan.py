@@ -115,8 +115,10 @@ def scan_fwd_math(h, value, base_pos, scale_t, hib, s0v, h2att_w, h2att_b,
                   cw, cb, aw, ab, off_w_h, S, Q, H, LP, Dh, A, dot):
     """One step's sampling + attention from hidden state h (Q, R).
 
-    Returns (pos_l, taps_l, M_l: per-head lists), hvec, a, wts, ctx with
-    a/wts (H, Q, LP, A)/(H, Q, LP) stacked and ctx (H, Q, Dh)."""
+    Returns (pos_l, M_l: per-head lists of (pos, (M, M_lo, M_hi))), hvec,
+    a, wts, ctx with a/wts (H, Q, LP, A)/(H, Q, LP) stacked and ctx
+    (H, Q, Dh).  The raw one-hot pair rides along so the backward can
+    reuse it for the d-pos difference matmul instead of rebuilding."""
     hvec = dot(h, h2att_w) + h2att_b                      # (Q, A)
     pos_l, M_l, taps_l = [], [], []
     for hh in range(H):
@@ -126,7 +128,7 @@ def scan_fwd_math(h, value, base_pos, scale_t, hib, s0v, h2att_w, h2att_b,
         M = w_lo[..., None] * M_lo + w_hi[..., None] * M_hi  # (Q, LP, S)
         taps = dot(M.reshape(Q * LP, S), value[hh]).reshape(Q, LP, Dh)
         pos_l.append(pos)
-        M_l.append(M)
+        M_l.append((M, M_lo, M_hi))
         taps_l.append(taps)
     taps4 = jnp.stack(taps_l)                             # (H, Q, LP, Dh)
     u = (dot(taps4.reshape(H * Q * LP, Dh), cw).reshape(H, Q, LP, A)
@@ -151,13 +153,13 @@ def _make_scan_fwd_kernel(S, Q, H, LP, Dh, A, R, precision):
                offw_ref, h2w_ref, h2b_ref, cw_ref, cb_ref, aw_ref, ab_ref,
                cw3_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
         k = pl.program_id(1)
-
-        @pl.when(k == 0)
-        def _():
-            h_scr[:] = jnp.zeros_like(h_scr)
-            c_scr[:] = jnp.zeros_like(c_scr)
-
-        h = h_scr[:]                                      # (Q, R)
+        # branchless carry init: a conditional splat-zeros STORE gives the
+        # scratch a replicated Mosaic layout that conflicts with the
+        # concrete h_new store ("invalid relayout" on real Mosaic, r4 HW
+        # run) — select zeros on the READ instead (NaN-safe: select, not
+        # multiply, so uninitialized VMEM at k==0 never propagates)
+        h = jnp.where(k == 0, 0.0, h_scr[:])              # (Q, R)
+        c_prev = jnp.where(k == 0, 0.0, c_scr[:])
         *_, ctx = scan_fwd_math(
             h, value_ref[0], base_ref[0], scale_ref[0], hib_ref[:],
             s0v_ref[:], h2w_ref[:], h2b_ref[0], cw_ref[:], cb_ref[0],
@@ -165,7 +167,7 @@ def _make_scan_fwd_kernel(S, Q, H, LP, Dh, A, R, precision):
         z = z_ref[0, 0] + dot(h, whh_ref[:])
         for hh in range(H):
             z = z + dot(ctx[hh], cw3_ref[hh])
-        h_new, c_new = _lstm_cell_fwd(z, c_scr[:])
+        h_new, c_new = _lstm_cell_fwd(z, c_prev)
         h_scr[:] = h_new
         c_scr[:] = c_new
         hs_ref[0, 0] = h_new
@@ -191,8 +193,6 @@ def _make_scan_bwd_kernel(S, Q, H, LP, Dh, A, R, precision):
 
         @pl.when(k == 0)
         def _():
-            dh_scr[:] = jnp.zeros_like(dh_scr)
-            dc_scr[:] = jnp.zeros_like(dc_scr)
             dvalue_ref[:] = jnp.zeros_like(dvalue_ref)
             dbase_ref[:] = jnp.zeros_like(dbase_ref)
             dscale_ref[:] = jnp.zeros_like(dscale_ref)
@@ -224,9 +224,10 @@ def _make_scan_bwd_kernel(S, Q, H, LP, Dh, A, R, precision):
         for hh in range(H):
             z = z + dot(ctx[hh], cw3_ref[hh])
 
-        # ---- LSTM cell backward (carry in = cotangent of h_t, c_t)
-        g_h = gh_ref[0, 0] + dh_scr[:]
-        g_c = gc_ref[0, 0] + dc_scr[:]
+        # ---- LSTM cell backward (carry in = cotangent of h_t, c_t);
+        # branchless carry init as in the forward kernel (see note there)
+        g_h = gh_ref[0, 0] + jnp.where(k == 0, 0.0, dh_scr[:])
+        g_c = gc_ref[0, 0] + jnp.where(k == 0, 0.0, dc_scr[:])
         dz, dc_prev = _lstm_cell_bwd(z, c_prev, g_h, g_c)
         dz_ref[0, 0] = dz
         dwhh_ref[:] += dot(h_prev.T, dz)
@@ -254,21 +255,23 @@ def _make_scan_bwd_kernel(S, Q, H, LP, Dh, A, R, precision):
         daw_ref[:] += jnp.sum(a * ddot[..., None], axis=(0, 1, 2))[None, :]
         dab_ref[:] += jnp.sum(ddot)[None, None]
 
-        # ---- hvec chain
+        # ---- hvec chain.  dh2b comes from du directly (sum over
+        # (H, Q, LP) — identical to summing dhvec over Q): summing dhvec
+        # again over its sublane axis makes Mosaic demand an invalid
+        # relayout of the (Q, A) vector it also feeds to the dh2w matmul
+        # (r4 HW bisect; same error class as the scratch-init note above)
         dh_prev = dh_prev + dot(dhvec, h2w_ref[:].T)
         dh2w_ref[:] += dot(h_prev.T, dhvec)
-        dh2b_ref[:] += jnp.sum(dhvec, axis=0)[None, :]
+        dh2b_ref[:] += jnp.sum(du, axis=(0, 1, 2))[None, :]
 
         # ---- sampling backward per head
         dscale_acc = jnp.zeros((Q, LP), jnp.float32)
         for hh in range(H):
-            M = M_l[hh]                                   # (Q, LP, S)
+            M, M_lo, M_hi = M_l[hh]                       # (Q, LP, S) x3
             dtaps_h = dtaps[hh].reshape(Q * LP, Dh)
             dvalue_ref[0, hh] += dot(M.reshape(Q * LP, S).T, dtaps_h)
-            # d tap / d pos = v[hi] - v[lo] via the one-hot difference;
-            # reuse the lerp pair from pos (cheap recompute)
-            _, _, _, M_lo, M_hi = _lerp_onehot_pair(
-                pos_l[hh], hib_ref[:], s0v_ref[:], S)
+            # d tap / d pos = v[hi] - v[lo] via the one-hot pair reused
+            # from the forward recompute (no second iota/compare build)
             diff = dot((M_hi - M_lo).reshape(Q * LP, S),
                        value[hh])                         # (QLP, Dh)
             dpos = jnp.sum(dtaps_h * diff, axis=-1).reshape(Q, LP)

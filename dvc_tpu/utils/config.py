@@ -207,6 +207,9 @@ def _build_parser() -> argparse.ArgumentParser:
     add('--shard_id', type=int, default=0)
     add('--num_shards', type=int, default=1)
     add('--sound_feature_folder', type=str, default=None)
+    add('--sound_feature_dim', type=int, default=0,
+        help='dim of the cached sound features / missing-audio zero '
+             'fallback; 0 = HuBERT default (768)')
     add('--ckpt_every_batches', type=int, default=100)
 
     # ------------------------------------------------------------------
