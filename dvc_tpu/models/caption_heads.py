@@ -331,9 +331,10 @@ class DSACaptionHead(_CaptionHeadBase):
     # step, and the backward scan accumulates dvalue/weight grads
     # in-VMEM.  Train-path only (greedy/scheduled-sampling feedback needs
     # stepwise decode); requires num_layers == 1 and att_hid_size > 0.
-    # Default OFF pending hardware validation (same posture as lstm_fuse);
-    # flip via --dsa_scan_fuse after tools/hw_validate.py --stage scan
-    scan_fuse: bool = False
+    # Default ON — hardware-validated win (30.02 ms/step fused vs 31.36
+    # stepwise at B=16; HW_VALIDATION.jsonl stages scan_fuse0/1); flip
+    # off via --dsa_scan_fuse 0
+    scan_fuse: bool = True
 
     def _dsa_params(self):
         cfg = self.cfg

@@ -66,7 +66,7 @@ class PDVCConfig:
     compute_dtype: str = 'float32'
     seq_shard: bool = False
     lstm_fuse: bool = False
-    scan_fuse: bool = False
+    scan_fuse: bool = True
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -104,7 +104,7 @@ class PDVCConfig:
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
             lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
-            scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 0)),
+            scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 1)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
