@@ -65,10 +65,12 @@ def main():
     B = int(os.environ.get('BENCH_BATCH', '16'))
     opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
                         tpu_mesh_data=1)
+    from dvc_tpu.train.trainer import step_prng_key
+
     trainer = Trainer(opt)
     batch = _synthetic_batch(opt, B=B)
     state = trainer.init_state(batch)
-    rng = jax.random.PRNGKey(0)
+    rng = step_prng_key(opt, 0)
     # device-resident input: the training pipeline prefetches/overlaps the
     # host->device copy (dvc_tpu/data/prefetch.py), so sustained throughput
     # is the compiled step rate, measured here on a pre-staged batch

@@ -221,6 +221,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help='size of the data-parallel mesh axis (pjit)')
     add('--tpu_compute_dtype', type=str, default='float32',
         choices=['float32', 'bfloat16'])
+    add('--tpu_prng', type=str, default='rbg',
+        choices=['threefry', 'rbg'],
+        help='PRNG impl for the per-step training stream (dropout + '
+             'scheduled sampling). rbg (default) is the XLA-native '
+             'generator: threefry costs ~2 ms/step at flagship shapes '
+             'just making dropout bits (HW A/B in trainer.step_prng_key). '
+             'threefry restores the round-3 bitstream exactly')
     add('--msda_impl', type=str, default='auto',
         choices=['auto', 'ref', 'dense', 'pallas', 'pallas_interpret'])
     add('--caption_scan_remat', type=int, default=0,
@@ -236,6 +243,11 @@ def _build_parser() -> argparse.ArgumentParser:
              'read once per video; train path only). Default ON — '
              'hardware-validated: 30.02 ms/step fused vs 31.36 stepwise '
              'at B=16 (HW_VALIDATION.jsonl stages scan_fuse0/1)')
+    add('--dsa_greedy_fuse', type=int, default=0,
+        help='run the WHOLE eval-time greedy decode as one Pallas launch '
+             '(ops/dsa_greedy.py: argmax feedback, vocab projection and '
+             'token embedding inside the kernel). Default off until '
+             'hardware-validated (tools/hw_validate.py --stages greedy)')
     add('--caption_len_bucketing', type=int, default=1,
         help='slice caption tensors to the batch max length (exact-'
              'equivalent; fewer teacher-forcing scan steps)')

@@ -22,7 +22,7 @@ import numpy as np
 def make_fusion_trainer(opt, mesh=None):
     from dvc_tpu.models import PDVCConfig
     from dvc_tpu.models.fusion import FusionPDVC
-    from dvc_tpu.train.trainer import Trainer
+    from dvc_tpu.train.trainer import Trainer, step_prng_key
     cfg = PDVCConfig.from_opt(opt)
     heads = int(getattr(opt, 'fusion_heads', 32) or 32)
     while opt.feature_dim % heads:   # keep the 32-head default divisible
@@ -92,7 +92,7 @@ def main(opt):
         val_history = info.get('val_history', {})
         logger.info(f'resumed epoch {epoch}, {len(visited)} videos visited')
 
-    rng = jax.random.PRNGKey(opt.seed)
+    rng = step_prng_key(opt, opt.seed)
     ckpt_every = getattr(opt, 'ckpt_every_batches', 100)
     while epoch < opt.epoch:
         lr = multistep_lr(opt, epoch)

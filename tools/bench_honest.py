@@ -53,10 +53,12 @@ def _pair(make_prog, n1, n2, *args):
 
 def bench_train(trainer, batch, B, n1, n2):
     import jax.numpy as jnp
+
+    from dvc_tpu.train.trainer import step_prng_key
     state = trainer.init_state(batch)
     lr = jnp.float32(5e-5)
     ssp = jnp.float32(0.0)
-    rng = jax.random.PRNGKey(0)
+    rng = step_prng_key(trainer.opt, 0)   # measure the default rng stream
     step = trainer._train_step_impl
 
     @jax.jit
@@ -261,8 +263,10 @@ def bench_trunk(trainer, batch, B, n1, n2):
     """Bisect the step: full vs forward-only vs fwd+bwd (no optimizer).
     Run with --caption none to isolate the non-caption trunk."""
     import jax.numpy as jnp
+
+    from dvc_tpu.train.trainer import step_prng_key
     state = trainer.init_state(batch)
-    rng = jax.random.PRNGKey(0)
+    rng = step_prng_key(trainer.opt, 0)
     lr = jnp.float32(5e-5)
     ssp = jnp.float32(0.0)
     step = trainer._train_step_impl

@@ -26,7 +26,7 @@ def train(opt):
     from dvc_tpu.eval import evaluate
     from dvc_tpu.train import (Trainer, filtered_restore, load_checkpoint,
                                load_info_json, multistep_lr, save_checkpoint,
-                               save_info_json, ss_prob_for_epoch)
+                               save_info_json, ss_prob_for_epoch, step_prng_key)
     from dvc_tpu.utils.logging import (MetricsWriter, backup_environment,
                                        build_folder, create_logger,
                                        print_opt)
@@ -117,7 +117,7 @@ def train(opt):
     profile_dir = os.environ.get('DVC_PROFILE_DIR')
     profile_steps = int(os.environ.get('DVC_PROFILE_STEPS', '10'))
 
-    rng = jax.random.PRNGKey(opt.seed)
+    rng = step_prng_key(opt, opt.seed)
     iteration = 0
     while epoch < opt.epoch:
         train_loader.set_epoch(epoch)   # reseeds the (host-shared) shuffle
