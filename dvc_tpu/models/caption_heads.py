@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..ops import ms_deform_attn_sample_values
 from ..ops.dsa_scan import dsa_teacher_scan
+from ..ops.dsa_greedy import dsa_greedy_scan, greedy_mask_outputs
 from ..ops.dsa_step import dsa_lstm_step, dsa_sample_attend
 from ..ops.embed import embed_lookup
 from .deformable_transformer import msda_offset_bias_init
@@ -335,6 +336,13 @@ class DSACaptionHead(_CaptionHeadBase):
     # stepwise at B=16; HW_VALIDATION.jsonl stages scan_fuse0/1); flip
     # off via --dsa_scan_fuse 0
     scan_fuse: bool = True
+    # run the WHOLE eval-time greedy decode as one pallas_call
+    # (ops/dsa_greedy.py): argmax feedback, vocab projection and token
+    # embedding inside the kernel, LSTM state + fed-back one-hot in VMEM
+    # scratch.  Requires num_layers == 1 and att_hid_size > 0.  Default
+    # OFF pending hardware validation (same posture scan_fuse had);
+    # flip via --dsa_greedy_fuse after tools/hw_validate.py --stages greedy
+    greedy_fuse: bool = False
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -512,6 +520,61 @@ class DSACaptionHead(_CaptionHeadBase):
                      if not deterministic else jax.random.PRNGKey(0))
         return self._logprobs(hs, logit, drop_base, deterministic)
 
+    def _fused_greedy_sample(self, query, ref_center, offset_scale,
+                             memory, temporal_shapes, pad_mask):
+        """Whole-decode fused path (ops/dsa_greedy.py): one launch for
+        all K greedy steps with the argmax feedback, vocab projection
+        and token embedding inside the kernel.  Hoists mirror
+        ``_fused_teacher_forcing`` (same flax param names, so the two
+        paths share weights)."""
+        cfg = self.cfg
+        B, Pq, d = query.shape
+        H = cfg.cap_nheads
+        L = cfg.cap_num_feature_levels
+        P = cfg.cap_dec_n_points
+        Dh = d // H
+        R = cfg.rnn_size
+        E = cfg.input_encoding_size
+        n = B * Pq
+        embed, (logit_w, logit_b), lstm = self._common_params(E + 2 * d)
+        off_w, off_b, val_w, val_b, att = self._dsa_params()
+
+        value = memory @ val_w + val_b
+        if pad_mask is not None:
+            value = jnp.where(pad_mask[..., None], 0.0, value)
+        value_t = value.reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)
+
+        off_const = (query @ off_w[R:] + off_b).reshape(B, Pq, H, L, P)
+        t_vec = jnp.asarray(temporal_shapes, jnp.float32)
+        ref32 = ref_center.astype(jnp.float32)[:, :, None, :, None]
+        scale32 = offset_scale.astype(jnp.float32)[:, :, None, :, None]
+        base = ((ref32 + off_const.astype(jnp.float32) * scale32)
+                * t_vec[None, None, None, :, None] - 0.5)
+        base_pos = base.transpose(0, 2, 1, 3, 4).reshape(B, H, Pq, L * P)
+        scale_t = (offset_scale.astype(jnp.float32)[:, :, :, None]
+                   * t_vec[None, None, :, None])
+        scale_t = jnp.broadcast_to(
+            scale_t, (B, Pq, L, P)).reshape(B, Pq, L * P)
+
+        w_ih0, w_hh = lstm[0]
+        token_z = embed @ w_ih0[:E]                       # (V+1, 4R)
+        ctx_w3 = w_ih0[E:E + d].reshape(H, Dh, 4 * R)
+        const_z = (query.reshape(n, d)
+                   @ w_ih0[E + d:]).reshape(B, Pq, 4 * R)
+        off_w_h = off_w[:R].reshape(R, H, L * P).transpose(1, 0, 2)
+
+        tok, lp = dsa_greedy_scan(
+            value_t, base_pos, scale_t, const_z, token_z, logit_w,
+            logit_b, off_w_h, att['h2att_w'], att['h2att_b'],
+            att['ctx2att_w'], att['ctx2att_b'], att['alpha_w'][:, 0],
+            att['alpha_b'][0], ctx_w3, w_hh, tuple(temporal_shapes),
+            cfg.max_caption_len, impl=self.att_impl,
+            precision=self.att_precision)                 # (B, K, Pq) x2
+        seq, lps = greedy_mask_outputs(tok, lp)
+        K = cfg.max_caption_len
+        return (seq.transpose(0, 2, 1).reshape(n, K),
+                lps.transpose(0, 2, 1).reshape(n, K))
+
     @nn.compact
     def __call__(self, query, ref_center, offset_scale, memory,
                  temporal_shapes, pad_mask, seq=None, ss_prob=0.0,
@@ -525,6 +588,11 @@ class DSACaptionHead(_CaptionHeadBase):
                 query, ref_center, offset_scale, memory, temporal_shapes,
                 pad_mask, seq.reshape(query.shape[0] * query.shape[1], -1),
                 deterministic)
+        if (mode == 'sample' and self.greedy_fuse
+                and cfg.att_hid_size > 0 and cfg.num_layers == 1):
+            return self._fused_greedy_sample(
+                query, ref_center, offset_scale, memory, temporal_shapes,
+                pad_mask)
         core = self._make_core(query, ref_center, offset_scale, memory,
                                temporal_shapes, pad_mask)
         n = query.shape[0] * query.shape[1]

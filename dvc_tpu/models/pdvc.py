@@ -67,6 +67,7 @@ class PDVCConfig:
     seq_shard: bool = False
     lstm_fuse: bool = False
     scan_fuse: bool = True
+    greedy_fuse: bool = False
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -105,6 +106,7 @@ class PDVCConfig:
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
             lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
             scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 1)),
+            greedy_fuse=bool(getattr(opt, 'dsa_greedy_fuse', 0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -202,7 +204,8 @@ class PDVC(nn.Module):
                 # model-wide compute dtype (accumulation stays f32)
                 'att_precision': c.compute_dtype,
                 'lstm_fuse': c.lstm_fuse,
-                'scan_fuse': c.scan_fuse}
+                'scan_fuse': c.scan_fuse,
+                'greedy_fuse': c.greedy_fuse}
             if c.share_caption_head:
                 h = head_cls(c.caption, name='caption_head', **kwargs)
                 self.caption_heads = [h] * D

@@ -135,6 +135,23 @@ def main():
                 return run
             for fuse in (0, 1):
                 run_stage(f'scan_fuse{fuse}', scan_ab(fuse))
+        if 'greedy' in stages:
+            # cross-step fused greedy decode (ops/dsa_greedy.py) A/B on
+            # the eval step: argmax feedback + vocab projection inside
+            # one launch vs the stepwise lax.scan
+            def greedy_ab(fuse):
+                def run():
+                    opt = _flagship_opt(frame_embedding_num=200,
+                                        max_caption_len=20,
+                                        tpu_mesh_data=1,
+                                        dsa_greedy_fuse=fuse)
+                    tr = Trainer(opt)
+                    batch = _synthetic_batch(opt, B=args.batch)
+                    return bh.bench_eval(tr, batch, args.batch,
+                                         args.n1, args.n2)
+                return run
+            for fuse in (0, 1):
+                run_stage(f'greedy_fuse{fuse}', greedy_ab(fuse))
         tr, batch = build(0)
         if 'trunk' in stages:
             run_stage('trunk', lambda: bh.bench_trunk(
@@ -165,6 +182,11 @@ def main():
     if 'train_step_ms' in s0 and 'train_step_ms' in s1:
         rec['scan_fuse_wins_train'] = bool(
             s1['train_step_ms'] < 0.97 * s0['train_step_ms'])
+    g0 = results.get('greedy_fuse0', {})
+    g1 = results.get('greedy_fuse1', {})
+    if 'eval_step_ms' in g0 and 'eval_step_ms' in g1:
+        rec['greedy_fuse_wins_eval'] = bool(
+            g1['eval_step_ms'] < 0.97 * g0['eval_step_ms'])
     rec['wall_s'] = round(time.time() - t0, 1)
     emit('recommendations', rec)
     if rec.get('tanh_rational_wins'):
@@ -176,6 +198,9 @@ def main():
     if rec.get('scan_fuse_wins_train'):
         print('FLIP: default dsa_scan_fuse on (config.py, PDVCConfig, '
               'DSACaptionHead.scan_fuse)')
+    if rec.get('greedy_fuse_wins_eval'):
+        print('FLIP: default dsa_greedy_fuse on (config.py, PDVCConfig, '
+              'DSACaptionHead.greedy_fuse)')
     print('Update BENCHMARKS.md with the new rows and re-run bench.py.')
     return 0
 
