@@ -340,9 +340,10 @@ class DSACaptionHead(_CaptionHeadBase):
     # (ops/dsa_greedy.py): argmax feedback, vocab projection and token
     # embedding inside the kernel, LSTM state + fed-back one-hot in VMEM
     # scratch.  Requires num_layers == 1 and att_hid_size > 0.  Default
-    # OFF pending hardware validation (same posture scan_fuse had);
-    # flip via --dsa_greedy_fuse after tools/hw_validate.py --stages greedy
-    greedy_fuse: bool = False
+    # ON — hardware-validated win (19.35 ms/eval-step fused vs 23.85
+    # stepwise at B=16; HW_VALIDATION.jsonl stages greedy_fuse0/1); flip
+    # off via --dsa_greedy_fuse 0
+    greedy_fuse: bool = True
 
     def _dsa_params(self):
         cfg = self.cfg
@@ -557,14 +558,14 @@ class DSACaptionHead(_CaptionHeadBase):
             scale_t, (B, Pq, L, P)).reshape(B, Pq, L * P)
 
         w_ih0, w_hh = lstm[0]
-        token_z = embed @ w_ih0[:E]                       # (V+1, 4R)
+        token_w = w_ih0[:E]                               # (E, 4R)
         ctx_w3 = w_ih0[E:E + d].reshape(H, Dh, 4 * R)
         const_z = (query.reshape(n, d)
                    @ w_ih0[E + d:]).reshape(B, Pq, 4 * R)
         off_w_h = off_w[:R].reshape(R, H, L * P).transpose(1, 0, 2)
 
         tok, lp = dsa_greedy_scan(
-            value_t, base_pos, scale_t, const_z, token_z, logit_w,
+            value_t, base_pos, scale_t, const_z, embed, token_w, logit_w,
             logit_b, off_w_h, att['h2att_w'], att['h2att_b'],
             att['ctx2att_w'], att['ctx2att_b'], att['alpha_w'][:, 0],
             att['alpha_b'][0], ctx_w3, w_hh, tuple(temporal_shapes),

@@ -67,7 +67,7 @@ class PDVCConfig:
     seq_shard: bool = False
     lstm_fuse: bool = False
     scan_fuse: bool = True
-    greedy_fuse: bool = False
+    greedy_fuse: bool = True
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -106,7 +106,7 @@ class PDVCConfig:
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
             lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
             scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 1)),
-            greedy_fuse=bool(getattr(opt, 'dsa_greedy_fuse', 0)),
+            greedy_fuse=bool(getattr(opt, 'dsa_greedy_fuse', 1)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 

@@ -15,10 +15,10 @@ This op runs all K steps inside ONE ``pallas_call``:
   grid iteration is sequential, so k is a scan); the LSTM state (h, c)
   AND the fed-back token (kept as its one-hot row, which the next
   step's embedding matmul needs anyway) live in VMEM scratch;
-* ``value`` and every weight table — including the (V+1, 4R)
-  token-embedding preactivation table and the (R, V+1) vocab
-  projection — are blocked per b (or grid-constant), so Mosaic keeps
-  them VMEM-resident across all K steps: one HBM read per video
+* ``value`` and every weight table — including the (V+1, E) token
+  embedding, its (E, 4R) LSTM input-weight slice and the (R, V+1)
+  vocab projection — are blocked per b (or grid-constant), so Mosaic
+  keeps them VMEM-resident across all K steps: one HBM read per video
   instead of K;
 * the per-step argmax is computed with the iota-min trick
   (first-max-index, exactly ``jnp.argmax`` semantics) and the winner's
@@ -61,16 +61,20 @@ _NEG_INF = -1e30
 # jnp reference (oracle; CPU path)
 # ----------------------------------------------------------------------------
 
-def dsa_greedy_scan_ref(value_t, base_pos, scale_t, const_z, token_z,
-                        logit_w, logit_b, off_w_h, h2att_w, h2att_b, cw,
-                        cb, aw, ab, ctx_w3, w_hh, temporal_shapes, K):
+def dsa_greedy_scan_ref(value_t, base_pos, scale_t, const_z, embed,
+                        token_w, logit_w, logit_b, off_w_h, h2att_w,
+                        h2att_b, cw, cb, aw, ab, ctx_w3, w_hh,
+                        temporal_shapes, K):
     """Oracle composition of the K-step greedy loop.
 
     value_t: (B, H, S, Dh) head-major projected memory;
     base_pos: (B, H, Q, LP) level-relative base positions;
     scale_t: (B, Q, LP); const_z: (B, Q, 4R) per-query constant LSTM
-    preactivation (event-query share); token_z: (V+1, 4R) token
-    embedding folded through the LSTM input weights; logit_w/(b):
+    preactivation (event-query share); embed: (V+1, E) token embedding
+    table; token_w: (E, 4R) its LSTM input-weight slice (factored, NOT
+    pre-multiplied: the in-kernel gather is (Q,Vp)@(Vp,E) then
+    (Q,E)@(E,4R) — half the FLOPs and a third the VMEM of a fused
+    (V+1, 4R) table at E = 4R/4); logit_w/(b):
     (R, V+1)/(V+1,); remaining weights as in ``dsa_teacher_scan_ref``.
     Returns (tok, lp): each (B, K, Q) — step t's argmax token (fed to
     step t+1; BOS=0 feeds step 0) and its logprob.
@@ -97,7 +101,7 @@ def dsa_greedy_scan_ref(value_t, base_pos, scale_t, const_z, token_z,
         d = u @ aw + ab
         wts = jax.nn.softmax(d, axis=-1)                  # (B, H, Q, LP)
         ctx = jnp.einsum('bhqp,bhqpd->bhqd', wts, taps)   # (B, H, Q, Dh)
-        z = (const_z + jnp.take(token_z, it, axis=0) + h @ w_hh
+        z = (const_z + jnp.take(embed, it, axis=0) @ token_w + h @ w_hh
              + jnp.einsum('bhqd,hdr->bqr', ctx, ctx_w3))
         h_new, c_new = _lstm_cell_fwd(z, c)
         logits = h_new @ logit_w + logit_b                # (B, Q, V+1)
@@ -130,9 +134,9 @@ def _make_greedy_kernel(S, Q, H, LP, Dh, A, R, Vp, precision):
     dot = _make_dot(precision)
 
     def kernel(value_ref, base_ref, scale_ref, hib_ref, s0v_ref, cz_ref,
-               tz_ref, lw_ref, lb_ref, offw_ref, h2w_ref, h2b_ref, cw_ref,
-               cb_ref, aw_ref, ab_ref, cw3_ref, whh_ref, tok_ref, lp_ref,
-               h_scr, c_scr, oh_scr):
+               emb_ref, tw_ref, lw_ref, lb_ref, offw_ref, h2w_ref,
+               h2b_ref, cw_ref, cb_ref, aw_ref, ab_ref, cw3_ref, whh_ref,
+               tok_ref, lp_ref, h_scr, c_scr, oh_scr):
         k = pl.program_id(1)
         # Mosaic iota is integer-only; cast for the f32 min/compare ops
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (Q, Vp), 1).astype(
@@ -149,7 +153,8 @@ def _make_greedy_kernel(S, Q, H, LP, Dh, A, R, Vp, precision):
             h, value_ref[0], base_ref[0], scale_ref[0], hib_ref[:],
             s0v_ref[:], h2w_ref[:], h2b_ref[0], cw_ref[:], cb_ref[0],
             aw_ref[0], ab_ref[0, 0], offw_ref, S, Q, H, LP, Dh, A, dot)
-        z = cz_ref[0] + dot(onehot, tz_ref[:]) + dot(h, whh_ref[:])
+        z = (cz_ref[0] + dot(dot(onehot, emb_ref[:]), tw_ref[:])
+             + dot(h, whh_ref[:]))
         for hh in range(H):
             z = z + dot(ctx[hh], cw3_ref[hh])
         h_new, c_new = _lstm_cell_fwd(z, c_prev)
@@ -171,15 +176,16 @@ def _make_greedy_kernel(S, Q, H, LP, Dh, A, R, Vp, precision):
     return kernel
 
 
-def _pallas_greedy(value_t, base_pos, scale_t, const_z, token_z, logit_w,
-                   logit_b, off_w_h, h2att_w, h2att_b, cw, cb, aw, ab,
-                   ctx_w3, w_hh, temporal_shapes, K, interpret, precision):
+def _pallas_greedy(value_t, base_pos, scale_t, const_z, embed, token_w,
+                   logit_w, logit_b, off_w_h, h2att_w, h2att_b, cw, cb,
+                   aw, ab, ctx_w3, w_hh, temporal_shapes, K, interpret,
+                   precision):
     B, H, S, Dh = value_t.shape
     Q = const_z.shape[1]
     R = w_hh.shape[0]
     LP = scale_t.shape[-1]
     A = h2att_w.shape[-1]
-    V1 = token_z.shape[0]
+    V1, E = embed.shape
     f32 = jnp.float32
     Q_pad = _round_up(Q, 8)
     Vp = _round_up(V1, 128)
@@ -189,7 +195,7 @@ def _pallas_greedy(value_t, base_pos, scale_t, const_z, token_z, logit_w,
         scale_t = jnp.pad(scale_t, ((0, 0), (0, Q_pad - Q), (0, 0)))
         const_z = jnp.pad(const_z, ((0, 0), (0, Q_pad - Q), (0, 0)))
     if Vp != V1:
-        token_z = jnp.pad(token_z, ((0, Vp - V1), (0, 0)))
+        embed = jnp.pad(embed, ((0, Vp - V1), (0, 0)))
         logit_w = jnp.pad(logit_w, ((0, 0), (0, Vp - V1)))
         logit_b = jnp.pad(logit_b, ((0, Vp - V1)),
                           constant_values=_NEG_INF)
@@ -198,7 +204,7 @@ def _pallas_greedy(value_t, base_pos, scale_t, const_z, token_z, logit_w,
 
     args = (value_t.astype(f32), base_pos.astype(f32), scale_t.astype(f32),
             jnp.asarray(hib_np), jnp.asarray(s0v_np), const_z.astype(f32),
-            token_z.astype(f32), logit_w.astype(f32),
+            embed.astype(f32), token_w.astype(f32), logit_w.astype(f32),
             logit_b.astype(f32)[None, :], off_w_h.astype(f32),
             h2att_w.astype(f32), h2att_b.astype(f32)[None, :],
             cw.astype(f32), cb.astype(f32)[None, :], aw.astype(f32)[None, :],
@@ -215,7 +221,8 @@ def _pallas_greedy(value_t, base_pos, scale_t, const_z, token_z, logit_w,
         pl.BlockSpec((Q_pad, LP), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((Q_pad, LP), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Q_pad, 4 * R), per_b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Vp, 4 * R), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Vp, E), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 4 * R), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((R, Vp), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Vp), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((H, R, LP), const3, memory_space=pltpu.VMEM),
@@ -248,9 +255,9 @@ def _pallas_greedy(value_t, base_pos, scale_t, const_z, token_z, logit_w,
     return tok[:, :, :Q, 0].astype(jnp.int32), lp[:, :, :Q, 0]
 
 
-def dsa_greedy_scan(value_t, base_pos, scale_t, const_z, token_z, logit_w,
-                    logit_b, off_w_h, h2att_w, h2att_b, cw, cb, aw, ab,
-                    ctx_w3, w_hh, temporal_shapes, K, impl='auto',
+def dsa_greedy_scan(value_t, base_pos, scale_t, const_z, embed, token_w,
+                    logit_w, logit_b, off_w_h, h2att_w, h2att_b, cw, cb,
+                    aw, ab, ctx_w3, w_hh, temporal_shapes, K, impl='auto',
                     precision='float32'):
     """Whole greedy decode in one launch (see module doc).
 
@@ -261,9 +268,9 @@ def dsa_greedy_scan(value_t, base_pos, scale_t, const_z, token_z, logit_w,
         impl = 'pallas' if jax.default_backend() == 'tpu' else 'ref'
     if impl == 'ref':
         return dsa_greedy_scan_ref(
-            value_t, base_pos, scale_t, const_z, token_z, logit_w, logit_b,
-            off_w_h, h2att_w, h2att_b, cw, cb, aw, ab, ctx_w3, w_hh,
-            temporal_shapes, K)
+            value_t, base_pos, scale_t, const_z, embed, token_w, logit_w,
+            logit_b, off_w_h, h2att_w, h2att_b, cw, cb, aw, ab, ctx_w3,
+            w_hh, temporal_shapes, K)
     if impl in ('pallas', 'pallas_interpret'):
         from ..parallel.op_partition import partition_batched
         return partition_batched(
@@ -271,6 +278,6 @@ def dsa_greedy_scan(value_t, base_pos, scale_t, const_z, token_z, logit_w,
                 v, bp, st, cz, *params, tuple(temporal_shapes), K,
                 impl == 'pallas_interpret', precision),
             (value_t, base_pos, scale_t, const_z),
-            (token_z, logit_w, logit_b, off_w_h, h2att_w, h2att_b, cw, cb,
-             aw, jnp.asarray(ab), ctx_w3, w_hh))
+            (embed, token_w, logit_w, logit_b, off_w_h, h2att_w, h2att_b,
+             cw, cb, aw, jnp.asarray(ab), ctx_w3, w_hh))
     raise ValueError(f'unknown dsa greedy impl {impl!r}')

@@ -14,7 +14,8 @@ from dvc_tpu.ops.dsa_greedy import (dsa_greedy_scan, dsa_greedy_scan_ref,
                                     greedy_mask_outputs)
 
 
-def make_args(B=2, S=18, H=2, Dh=8, Q=3, L=2, P=2, A=16, R=8, V=11, seed=0):
+def make_args(B=2, S=18, H=2, Dh=8, Q=3, L=2, P=2, A=16, R=8, V=11, E=12,
+              seed=0):
     ts = (12, 6)
     rng = np.random.default_rng(seed)
     f = lambda *s: jnp.asarray(  # noqa: E731
@@ -26,7 +27,8 @@ def make_args(B=2, S=18, H=2, Dh=8, Q=3, L=2, P=2, A=16, R=8, V=11, seed=0):
     scale_t = jnp.asarray(
         rng.uniform(0.2, 2.0, (B, Q, LP)).astype(np.float32))
     const_z = f(B, Q, 4 * R) * 0.3
-    token_z = f(V + 1, 4 * R) * 0.3
+    embed = f(V + 1, E) * 0.3
+    token_w = f(E, 4 * R) * 0.3
     logit_w = f(R, V + 1) * 0.5
     logit_b = f(V + 1) * 0.1
     off_w_h = f(H, R, LP) * 0.2
@@ -38,8 +40,9 @@ def make_args(B=2, S=18, H=2, Dh=8, Q=3, L=2, P=2, A=16, R=8, V=11, seed=0):
     ab = jnp.float32(0.05)
     ctx_w3 = f(H, Dh, 4 * R) * 0.2
     w_hh = f(R, 4 * R) * 0.2
-    return (value_t, base_pos, scale_t, const_z, token_z, logit_w, logit_b,
-            off_w_h, h2att_w, h2att_b, cw, cb, aw, ab, ctx_w3, w_hh), ts
+    return (value_t, base_pos, scale_t, const_z, embed, token_w, logit_w,
+            logit_b, off_w_h, h2att_w, h2att_b, cw, cb, aw, ab, ctx_w3,
+            w_hh), ts
 
 
 @pytest.mark.parametrize('shapes', [

@@ -126,3 +126,20 @@ def test_fallbacks():
     with op_mesh(make_mesh(n_data=1)):
         assert get_op_mesh() is None
     assert get_op_mesh() is None
+
+
+def test_greedy_scan_sharded_matches_ref():
+    """The fused greedy decode (two outputs: tokens + logprobs) shard_maps
+    over the data axis; tokens must be exact."""
+    from dvc_tpu.ops.dsa_greedy import dsa_greedy_scan, dsa_greedy_scan_ref
+    from test_dsa_greedy import make_args
+    args, ts = make_args(B=8)
+    K = 4
+    tok_ref, lp_ref = dsa_greedy_scan_ref(*args, ts, K)
+    with op_mesh(make_mesh(n_data=8)):
+        tok, lp = jax.jit(
+            lambda *a: dsa_greedy_scan(*a, ts, K,
+                                       impl='pallas_interpret'))(*args)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok_ref))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=2e-5, atol=2e-5)

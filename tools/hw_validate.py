@@ -14,6 +14,7 @@ Stages (all in one process; in-graph two-point protocol throughout):
   lstm     fully fused word step (dsa_lstm_step), native vs rational tanh
   ab       end-to-end train + eval step, lstm_fuse off vs on
   scan     end-to-end train step, cross-step fused word scan off vs on
+  greedy   end-to-end eval step, cross-step fused greedy decode off vs on
   trunk    full vs fwd vs fwd+bwd bisect
   matcher  vmapped JV solves at flagship shapes
   post     device-side postprocess
@@ -54,7 +55,7 @@ def main():
     ap.add_argument('--n1', type=int, default=8)
     ap.add_argument('--n2', type=int, default=24)
     ap.add_argument('--stages',
-                    default='kernel,lstm,ab,scan,trunk,matcher,post')
+                    default='kernel,lstm,ab,scan,greedy,trunk,matcher,post')
     ap.add_argument('--probe-timeout', type=float, default=600)
     args = ap.parse_args()
 
@@ -98,7 +99,8 @@ def main():
         run_stage('lstm',
                   lambda: bh.bench_lstm_kernel(args.batch, args.n1, args.n2))
 
-    if any(s in stages for s in ('ab', 'scan', 'trunk', 'matcher', 'post')):
+    if any(s in stages for s in ('ab', 'scan', 'greedy', 'trunk',
+                                 'matcher', 'post')):
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
 
