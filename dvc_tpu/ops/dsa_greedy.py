@@ -41,8 +41,6 @@ argmax stream, which is what the feedback path needs.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
