@@ -22,7 +22,7 @@ import numpy as np
 def make_fusion_trainer(opt, mesh=None):
     from dvc_tpu.models import PDVCConfig
     from dvc_tpu.models.fusion import FusionPDVC
-    from dvc_tpu.train.trainer import Trainer, step_prng_key
+    from dvc_tpu.train.trainer import Trainer
     cfg = PDVCConfig.from_opt(opt)
     heads = int(getattr(opt, 'fusion_heads', 32) or 32)
     while opt.feature_dim % heads:   # keep the 32-head default divisible
@@ -39,7 +39,8 @@ def main(opt):
     from dvc_tpu.eval import evaluate
     from dvc_tpu.train import (filtered_restore, load_checkpoint,
                                load_info_json, multistep_lr, save_checkpoint,
-                               save_info_json, ss_prob_for_epoch)
+                               save_info_json, ss_prob_for_epoch,
+                               step_prng_key)
     from dvc_tpu.utils.logging import build_folder, create_logger
 
     save_folder = build_folder(opt)
