@@ -275,6 +275,41 @@ class _CaptionHeadBase(nn.Module):
             body, carry, jnp.arange(1, cfg.max_caption_len + 1))
         return jnp.moveaxis(seq, 0, 1), jnp.moveaxis(lps, 0, 1)
 
+    def _stochastic_sample(self, core, n, temperature, base_rng):
+        """Temperature multinomial decode (reference ``LSTM.py:113-120``:
+        ``sample_max=0``): feed ``it ~ multinomial(exp(logprobs / T))``,
+        emit the UNSCALED logprob of the sampled token; same fixed-length
+        masked-scan restructure of the reference's early-break loop as
+        :meth:`_greedy_sample`.  Dead code on the reference's own driver
+        paths (every call site uses the greedy default) — kept for head
+        API parity."""
+        cfg = self.cfg
+        step_fn = self._step_fn_from_core(core, True)
+        h0 = jnp.zeros((cfg.num_layers, n, cfg.rnn_size))
+
+        def pick(lp, t):
+            r = jax.random.fold_in(base_rng, t)
+            it = jax.random.categorical(r, lp / temperature, axis=-1)
+            return (it.astype(jnp.int32),
+                    jnp.take_along_axis(lp, it[:, None], axis=-1)[:, 0])
+
+        lp0, state1 = step_fn(jnp.zeros((n,), jnp.int32), (h0, h0),
+                              jax.random.PRNGKey(0))
+        it1, slp1 = pick(lp0, 1)
+
+        def body(carry, t):
+            state, it, slp, unfinished = carry
+            lp, state = step_fn(it, state, jax.random.PRNGKey(0))
+            nit, nlp = pick(lp, t + 1)
+            unfinished = unfinished & (it > 0)
+            return ((state, nit, nlp, unfinished),
+                    (it * unfinished, slp))
+
+        carry = (state1, it1, slp1, jnp.ones((n,), bool))
+        carry, (seq, lps) = jax.lax.scan(
+            body, carry, jnp.arange(1, cfg.max_caption_len + 1))
+        return jnp.moveaxis(seq, 0, 1), jnp.moveaxis(lps, 0, 1)
+
 
 class LightCaptionHead(_CaptionHeadBase):
     """'light' head (reference ``LSTM.py:141-174``): LSTM over
@@ -297,11 +332,15 @@ class LightCaptionHead(_CaptionHeadBase):
 
     @nn.compact
     def __call__(self, feats, seq, ss_prob=0.0, deterministic=True,
-                 mode='forward', ss_enabled=None):
+                 mode='forward', ss_enabled=None, sample_max=True,
+                 temperature=1.0):
         """feats: (N, hidden) query features of the caption batch;
         seq: (N, Lcap) gt tokens (mode='forward') or ignored (mode='sample').
         ss_enabled must be a *static* bool: whether scheduled sampling can
-        fire (defaults to ``not deterministic``, the reference's behavior)."""
+        fire (defaults to ``not deterministic``, the reference's behavior).
+        sample_max/temperature mirror the reference ``sample(opt=...)``
+        surface (``LSTM.py:96-98``): greedy by default, temperature
+        multinomial otherwise."""
         if ss_enabled is None:
             ss_enabled = not deterministic
         core = self._make_core(feats)
@@ -309,6 +348,10 @@ class LightCaptionHead(_CaptionHeadBase):
         if mode == 'forward':
             return self._teacher_forcing(core, seq, n, ss_prob,
                                          deterministic, ss_enabled)
+        if not sample_max:
+            rng = (self.make_rng('sample') if self.has_rng('sample')
+                   else jax.random.PRNGKey(0))
+            return self._stochastic_sample(core, n, temperature, rng)
         return self._greedy_sample(core, n)
 
 
@@ -579,7 +622,8 @@ class DSACaptionHead(_CaptionHeadBase):
     @nn.compact
     def __call__(self, query, ref_center, offset_scale, memory,
                  temporal_shapes, pad_mask, seq=None, ss_prob=0.0,
-                 deterministic=True, mode='forward', ss_enabled=None):
+                 deterministic=True, mode='forward', ss_enabled=None,
+                 sample_max=True, temperature=1.0):
         if ss_enabled is None:
             ss_enabled = not deterministic
         cfg = self.cfg
@@ -589,7 +633,7 @@ class DSACaptionHead(_CaptionHeadBase):
                 query, ref_center, offset_scale, memory, temporal_shapes,
                 pad_mask, seq.reshape(query.shape[0] * query.shape[1], -1),
                 deterministic)
-        if (mode == 'sample' and self.greedy_fuse
+        if (mode == 'sample' and sample_max and self.greedy_fuse
                 and cfg.att_hid_size > 0 and cfg.num_layers == 1):
             return self._fused_greedy_sample(
                 query, ref_center, offset_scale, memory, temporal_shapes,
@@ -601,6 +645,10 @@ class DSACaptionHead(_CaptionHeadBase):
             seq_flat = seq.reshape(n, -1)
             return self._teacher_forcing(core, seq_flat, n, ss_prob,
                                          deterministic, ss_enabled)
+        if not sample_max:
+            rng = (self.make_rng('sample') if self.has_rng('sample')
+                   else jax.random.PRNGKey(0))
+            return self._stochastic_sample(core, n, temperature, rng)
         return self._greedy_sample(core, n)
 
 

@@ -68,6 +68,11 @@ class PDVCConfig:
     lstm_fuse: bool = False
     scan_fuse: bool = True
     greedy_fuse: bool = True
+    # reference sample(opt) surface (LSTM.py:96-98): greedy by default;
+    # sample_max=0 draws from exp(logprobs / temperature) instead (dead
+    # on every reference driver path, kept for API parity)
+    sample_max: bool = True
+    sample_temperature: float = 1.0
     caption: CaptionHeadConfig = None
     criterion: CriterionConfig = None
 
@@ -107,6 +112,9 @@ class PDVCConfig:
             lstm_fuse=bool(getattr(opt, 'dsa_lstm_fuse', 0)),
             scan_fuse=bool(getattr(opt, 'dsa_scan_fuse', 1)),
             greedy_fuse=bool(getattr(opt, 'dsa_greedy_fuse', 1)),
+            sample_max=bool(getattr(opt, 'caption_sample_max', 1)),
+            sample_temperature=float(
+                getattr(opt, 'caption_sample_temperature', 1.0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
 
 
@@ -485,15 +493,18 @@ class PDVC(nn.Module):
         c = self.cfg
         B, Nq, d = hs_lid.shape
         head = self.caption_heads[l_id]
+        sample_kw = dict(sample_max=c.sample_max,
+                         temperature=c.sample_temperature)
         if c.caption_decoder_type == 'light':
-            seq, lp = head(hs_lid.reshape(B * Nq, d), None, mode='sample')
+            seq, lp = head(hs_lid.reshape(B * Nq, d), None, mode='sample',
+                           **sample_kw)
         else:
             center, scale = self._caption_reference(reference, valid_ratios,
                                                     shapes)
             shapes_t, mem_t, mask_t, center_t, scale_t = truncate_levels(
                 c.caption, shapes, memory, mask_flat, center, scale)
             seq, lp = head(hs_lid, center_t, scale_t, mem_t, shapes_t,
-                           mask_t, mode='sample')
+                           mask_t, mode='sample', **sample_kw)
         return (seq.reshape(B, Nq, -1), lp.reshape(B, Nq, -1))
 
     # ------------------------------------------------------------------

@@ -249,6 +249,12 @@ def _build_parser() -> argparse.ArgumentParser:
              'token embedding inside the kernel). Default ON — '
              'hardware-validated: 19.35 ms/eval-step fused vs 23.85 '
              'stepwise at B=16 (HW_VALIDATION.jsonl stages greedy_fuse0/1)')
+    add('--caption_sample_max', type=int, default=1,
+        help='eval decode mode (reference sample(opt) surface, '
+             'LSTM.py:96-98): 1 = greedy argmax (reference default on '
+             'every driver path), 0 = multinomial sampling from '
+             'exp(logprobs / caption_sample_temperature)')
+    add('--caption_sample_temperature', type=float, default=1.0)
     add('--caption_len_bucketing', type=int, default=1,
         help='slice caption tensors to the batch max length (exact-'
              'equivalent; fewer teacher-forcing scan steps)')
