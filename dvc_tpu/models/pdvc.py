@@ -62,6 +62,10 @@ class PDVCConfig:
     frame_embedding_num: int = 100
     transformer_input_type: str = 'queries'
     msda_impl: str = 'auto'
+    # trunk-only override of msda_impl ('' = follow msda_impl): the
+    # encoder/decoder sampling runs at large (Q ~ S) shapes where the
+    # impl trade-offs differ from the caption head's tiny per-step shapes
+    msda_trunk_impl: str = ''
     msda_boundary: str = 'zeros'
     compute_dtype: str = 'float32'
     seq_shard: bool = False
@@ -106,6 +110,7 @@ class PDVCConfig:
             frame_embedding_num=opt.frame_embedding_num,
             transformer_input_type=opt.transformer_input_type,
             msda_impl=opt.msda_impl,
+            msda_trunk_impl=getattr(opt, 'msda_trunk_impl', ''),
             msda_boundary=getattr(opt, 'msda_boundary', 'zeros'),
             compute_dtype=getattr(opt, 'tpu_compute_dtype', 'float32'),
             seq_shard=bool(getattr(opt, 'tpu_seq_shard', 0)),
@@ -116,6 +121,19 @@ class PDVCConfig:
             sample_temperature=float(
                 getattr(opt, 'caption_sample_temperature', 1.0)),
             caption=cap, criterion=CriterionConfig.from_opt(opt))
+
+
+def resolve_trunk_impl(msda_trunk_impl: str, msda_impl: str) -> str:
+    """Encoder/decoder sampling impl.  'auto' resolves the TRUNK to the
+    dense one-hot-matmul formulation, NOT the Pallas kernel: at trunk
+    shapes (Q ~ S ~ 375, one launch per layer) the kernel's (B, H) grid
+    cells serialize on the core and the pad/transpose relayouts around the
+    launch cost more than XLA's fused per-level einsums — HW A/B
+    (HW_VALIDATION.jsonl stage 'trunk_fwd'): dense 23.3 ms/step train /
+    15.9 eval vs pallas 27.6 / 19.3 at B=16 flagship.  The caption head's
+    per-word-step sampling (tiny shapes, launch-bound) keeps its own fused
+    kernels; explicit choices are honored unchanged."""
+    return msda_trunk_impl or ('dense' if msda_impl == 'auto' else msda_impl)
 
 
 def class_bias_init(key, shape, dtype=jnp.float32):
@@ -155,15 +173,16 @@ class PDVC(nn.Module):
         self.level_embed = self.param('level_embed',
                                       nn.initializers.normal(1.0), (L, d))
         dtype = jnp.bfloat16 if c.compute_dtype == 'bfloat16' else jnp.float32
+        trunk_impl = resolve_trunk_impl(c.msda_trunk_impl, c.msda_impl)
         self.enc_stack = [
             EncoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
-                         L, c.nheads, c.enc_n_points, msda_impl=c.msda_impl,
+                         L, c.nheads, c.enc_n_points, msda_impl=trunk_impl,
                          msda_boundary=c.msda_boundary,
                          dtype=dtype, name=f'encoder_layer_{i}')
             for i in range(c.enc_layers)]
         self.dec_stack = [
             DecoderLayer(d, c.transformer_ff_dim, c.transformer_dropout_prob,
-                         L, c.nheads, c.dec_n_points, msda_impl=c.msda_impl,
+                         L, c.nheads, c.dec_n_points, msda_impl=trunk_impl,
                          msda_boundary=c.msda_boundary,
                          dtype=dtype, name=f'decoder_layer_{i}')
             for i in range(c.dec_layers)]

@@ -306,8 +306,131 @@ def _msda_kernel(loc_ref, attn_ref, value_ref, out_ref, w_scratch, *,
                             ).astype(out_ref.dtype)
 
 
+def _msda_ls_kernel(loc_ref, attn_ref, value_ref, out_ref, *,
+                    temporal_shapes, padded_shapes, n_points, mode):
+    """Level-sliced W build (per-(b, h) grid cell).
+
+    The flat-W kernel (``_msda_kernel``) compares every tap's index against
+    ALL S_pad columns — 16 taps x S_pad lanes of compare/select/add per
+    query row, which the device profile (tools/profile_step.py) showed is
+    the dominant cost of the trunk forward (~0.92 ms per encoder layer at
+    T=200 shapes).  A tap at level l can only land inside level l's columns,
+    so here the coefficient matrix is built and contracted PER LEVEL: the
+    compare domain shrinks from n_levels*P*S_pad to P*sum(Tpad_l) lane
+    columns (~2.4x less VPU work at T=200), at the cost of one (Q, Tpad_l)
+    @ (Tpad_l, D) MXU matmul per level instead of one (Q, S_pad) @
+    (S_pad, D).  Value arrives level-padded ((B, H, sum(Tpad_l), D), each
+    level 128-lane aligned) and D stays the natural head dim (no 128 pad).
+    """
+    Q = out_ref.shape[2]
+    acc = None
+    off = 0
+    for l, (T, Tpad) in enumerate(zip(temporal_shapes, padded_shapes)):
+        col = jax.lax.broadcasted_iota(jnp.int32, (Q, Tpad), 1)
+        w = jnp.zeros((Q, Tpad), jnp.float32)
+        for p in range(n_points):
+            k = l * n_points + p
+            loc = loc_ref[0, 0, :, k]      # (Q,)
+            a = attn_ref[0, 0, :, k]       # (Q,)
+            pos = loc * T - 0.5
+            i_lo = jnp.floor(pos)
+            w_hi = pos - i_lo
+            w_lo = 1.0 - w_hi
+            i_hi = i_lo + 1.0
+            if mode == "zeros":
+                w_lo = jnp.where((i_lo >= 0) & (i_lo <= T - 1), w_lo, 0.0)
+                w_hi = jnp.where((i_hi >= 0) & (i_hi <= T - 1), w_hi, 0.0)
+            # level-relative indices: padded columns (>= T) never match
+            idx_lo = jnp.clip(i_lo, 0, T - 1).astype(jnp.int32)
+            idx_hi = jnp.clip(i_hi, 0, T - 1).astype(jnp.int32)
+            w = (w + jnp.where(col == idx_lo[:, None], (a * w_lo)[:, None], 0.0)
+                   + jnp.where(col == idx_hi[:, None], (a * w_hi)[:, None], 0.0))
+        part = jnp.dot(w, value_ref[0, 0, off:off + Tpad, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+        off += Tpad
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _msda_pallas_ls_fwd_impl(value, temporal_shapes, sampling_locations,
+                             attention_weights, mode, interpret):
+    B, S, H, D = value.shape
+    _, Q, _, L, P = sampling_locations.shape
+    Q_pad = _round_up(Q, 8)
+    padded_shapes = tuple(_round_up(int(t), 128) for t in temporal_shapes)
+    S_ls = sum(padded_shapes)
+
+    f32 = jnp.float32
+    loc = sampling_locations.astype(f32).reshape(B, Q, H, L * P)
+    loc = jnp.moveaxis(loc, 2, 1)    # (B, H, Q, L*P)
+    attn = attention_weights.astype(f32).reshape(B, Q, H, L * P)
+    attn = jnp.moveaxis(attn, 2, 1)
+    loc = jnp.pad(loc, ((0, 0), (0, 0), (0, Q_pad - Q), (0, 0)))
+    attn = jnp.pad(attn, ((0, 0), (0, 0), (0, Q_pad - Q), (0, 0)))
+    # level-padded flat value, head-major: (B, H, S_ls, D), D unpadded
+    starts = _level_starts(temporal_shapes)
+    parts = []
+    for (T, Tpad, s0) in zip(temporal_shapes, padded_shapes, starts):
+        v_l = jax.lax.slice_in_dim(value, s0, s0 + int(T), axis=1)
+        parts.append(jnp.pad(v_l.astype(f32),
+                             ((0, 0), (0, Tpad - int(T)), (0, 0), (0, 0))))
+    val = jnp.moveaxis(jnp.concatenate(parts, axis=1), 2, 1)  # (B,H,S_ls,D)
+
+    kernel = functools.partial(_msda_ls_kernel,
+                               temporal_shapes=tuple(int(t) for t in temporal_shapes),
+                               padded_shapes=padded_shapes,
+                               n_points=P, mode=mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Q_pad, L * P), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q_pad, L * P), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_ls, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Q_pad, D), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Q_pad, D), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Q_pad * S_ls * D,
+            bytes_accessed=4 * B * H * (Q_pad * L * P * 2 + S_ls * D + Q_pad * D),
+            transcendentals=0),
+        interpret=interpret,
+    )(loc, attn, val)
+    out = out[:, :, :Q, :]                       # (B, H, Q, D)
+    out = jnp.moveaxis(out, 1, 2).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
+# DVC_MSDA_FWD=flat selects the original full-S tap-loop kernel; 'level'
+# (default) is the level-sliced build above.  Module variable overrides the
+# env for tests.
+_FWD_IMPL = None
+
+
+def _fwd_impl():
+    impl = _FWD_IMPL or os.environ.get('DVC_MSDA_FWD', 'level')
+    if impl not in ('level', 'flat'):
+        raise ValueError(f'DVC_MSDA_FWD must be level|flat, got {impl!r}')
+    return impl
+
+
 def _msda_pallas_fwd_impl(value, temporal_shapes, sampling_locations,
                           attention_weights, mode, interpret):
+    if _fwd_impl() == 'level':
+        return _msda_pallas_ls_fwd_impl(value, temporal_shapes,
+                                        sampling_locations,
+                                        attention_weights, mode, interpret)
+    return _msda_pallas_flat_fwd_impl(value, temporal_shapes,
+                                      sampling_locations, attention_weights,
+                                      mode, interpret)
+
+
+def _msda_pallas_flat_fwd_impl(value, temporal_shapes, sampling_locations,
+                               attention_weights, mode, interpret):
     B, S, H, D = value.shape
     _, Q, _, L, P = sampling_locations.shape
     S_pad = _round_up(S, 128)

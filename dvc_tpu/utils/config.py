@@ -230,6 +230,11 @@ def _build_parser() -> argparse.ArgumentParser:
              'threefry restores the round-3 bitstream exactly')
     add('--msda_impl', type=str, default='auto',
         choices=['auto', 'ref', 'dense', 'pallas', 'pallas_interpret'])
+    add('--msda_trunk_impl', type=str, default='',
+        choices=['', 'auto', 'ref', 'dense', 'pallas', 'pallas_interpret'],
+        help='encoder/decoder-only override of msda_impl (the trunk runs '
+             'at large Q~S shapes where the impl trade-offs differ from '
+             'the caption head); empty = follow msda_impl')
     add('--caption_scan_remat', type=int, default=0,
         help='rematerialize the caption word-scan step in the backward '
              '(only pays off without the fused attention kernel)')

@@ -213,3 +213,39 @@ def test_pallas_bwd_odd_channels_and_single_level():
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("fwd_impl", ["level", "flat"])
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_pallas_fwd_variants_match_ref(fwd_impl, mode):
+    """Both forward kernel layouts (level-sliced default / flat full-S)
+    pin to the oracle; the trunk default is nonetheless the DENSE XLA
+    formulation (hardware A/B, HW_VALIDATION.jsonl stage 'trunk_fwd')."""
+    import importlib
+    M = importlib.import_module('dvc_tpu.ops.ms_deform_attn')
+    rng = np.random.default_rng(11)
+    value, loc, attn = make_inputs(rng, D=16, shapes=(9, 5, 3), P=2)
+    old = M._FWD_IMPL
+    try:
+        M._FWD_IMPL = fwd_impl
+        got = ms_deform_attn_pallas(value, (9, 5, 3), loc, attn, mode, True)
+    finally:
+        M._FWD_IMPL = old
+    want = ms_deform_attn_ref(value, (9, 5, 3), loc, attn, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_trunk_impl_resolution():
+    """msda_impl='auto' resolves the TRUNK to dense (HW-validated) while
+    explicit choices and msda_trunk_impl overrides are honored."""
+    from dvc_tpu.models.pdvc import resolve_trunk_impl
+    for msda_impl, trunk_override, want in [
+            ('auto', '', 'dense'),
+            ('pallas', '', 'pallas'),
+            ('dense', '', 'dense'),
+            ('ref', '', 'ref'),
+            ('auto', 'pallas', 'pallas'),
+            ('dense', 'pallas_interpret', 'pallas_interpret'),
+    ]:
+        assert resolve_trunk_impl(trunk_override, msda_impl) == want

@@ -414,6 +414,8 @@ def main():
         k, _, v = kv.partition('=')
         if v.lower() in ('true', 'false'):
             v = v.lower() == 'true'
+        elif v.startswith('str:'):
+            v = v[4:]          # explicit string override, e.g. str:dense
         else:
             try:
                 v = int(v)
@@ -423,7 +425,8 @@ def main():
                 except ValueError:
                     raise SystemExit(
                         f'--set {kv}: value must be int/float/true/false '
-                        '(a bare string would silently pass as truthy)')
+                        'or str:<value> (a bare string would silently '
+                        'pass as truthy)')
         overrides[k] = v
 
     results = {'batch': args.batch, 'backend': jax.default_backend(),
