@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 
-def capture(out_dir, steps, batch, frames, max_caption_len):
+def capture(out_dir, steps, batch, frames, max_caption_len, what='train'):
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_opt, _synthetic_batch
@@ -44,24 +44,43 @@ def capture(out_dir, steps, batch, frames, max_caption_len):
     rng = step_prng_key(trainer.opt, 0)
     step = trainer._train_step_impl
 
-    @jax.jit
-    def prog(n, params, opt_state):
-        def body(i, carry):
-            params, opt_state, acc = carry
-            b = dict(batch_d)
-            b['video_tensor'] = batch_d['video_tensor'] + jnp.sin(acc) * 1e-12
-            params, opt_state, losses = step(params, opt_state, b, lr, ssp,
-                                             jax.random.fold_in(rng, i))
-            return params, opt_state, losses['total_loss']
-        return jax.lax.fori_loop(0, n, body,
-                                 (params, opt_state, jnp.float32(0.0)))[2]
+    if what == 'train':
+        @jax.jit
+        def prog(n, params, opt_state):
+            def body(i, carry):
+                params, opt_state, acc = carry
+                b = dict(batch_d)
+                b['video_tensor'] = (batch_d['video_tensor']
+                                     + jnp.sin(acc) * 1e-12)
+                params, opt_state, losses = step(
+                    params, opt_state, b, lr, ssp,
+                    jax.random.fold_in(rng, i))
+                return params, opt_state, losses['total_loss']
+            return jax.lax.fori_loop(0, n, body,
+                                     (params, opt_state, jnp.float32(0.0)))[2]
+        args = (jnp.int32(steps), state['params'], state['opt_state'])
+    elif what == 'eval':
+        apply = trainer.model.apply
 
-    args = (jnp.int32(steps), state['params'], state['opt_state'])
+        @jax.jit
+        def prog(n, params):
+            def body(i, acc):
+                b = dict(batch_d)
+                b['video_tensor'] = (batch_d['video_tensor']
+                                     + jnp.sin(acc) * 1e-12)
+                out, _ = apply(params, b, eval_mode=True)
+                return (jnp.sum(out['cap_prob_eval'])
+                        + jnp.sum(out['pred_boxes'])) * 1e-6
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        args = (jnp.int32(steps), state['params'])
+    else:
+        raise SystemExit(f'--what must be train|eval, got {what!r}')
+
     v = jax.device_get(prog(*args))          # compile + warm outside trace
-    print(f'warm loss={v:.4f}', file=sys.stderr)
+    print(f'warm value={v:.4f}', file=sys.stderr)
     with jax.profiler.trace(out_dir):
         v = jax.device_get(prog(*args))
-    print(f'traced loss={v:.4f}', file=sys.stderr)
+    print(f'traced value={v:.4f}', file=sys.stderr)
 
 
 def summarize(out_dir, top):
@@ -108,12 +127,13 @@ def main():
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--frames', type=int, default=200)
     ap.add_argument('--max-caption-len', type=int, default=20)
+    ap.add_argument('--what', default='train', choices=['train', 'eval'])
     ap.add_argument('--summarize-only', action='store_true',
                     help='skip capture; parse an existing --out dir')
     args = ap.parse_args()
     if not args.summarize_only:
         capture(args.out, args.steps, args.batch, args.frames,
-                args.max_caption_len)
+                args.max_caption_len, args.what)
     print(json.dumps(summarize(args.out, args.top), indent=1))
 
 
