@@ -7,7 +7,7 @@ finishes — a dropped tunnel preserves partial results.  Run it whenever
 the tunnel is up:
 
     python tools/hw_validate.py [--out HW_VALIDATION.jsonl] [--batch 16]
-                                [--stages kernel,lstm,ab,trunk,matcher,post]
+                                [--stages kernel,lstm,ab,trunk,trunk_fwd,matcher,post]
 
 Stages (all in one process; in-graph two-point protocol throughout):
   kernel   sample+attend kernel fwd / fwd+bwd, native vs rational tanh
@@ -16,6 +16,7 @@ Stages (all in one process; in-graph two-point protocol throughout):
   scan     end-to-end train step, cross-step fused word scan off vs on
   greedy   end-to-end eval step, cross-step fused greedy decode off vs on
   trunk    full vs fwd vs fwd+bwd bisect
+  trunk_fwd  end-to-end train + eval step, trunk dense vs pallas sampling
   matcher  vmapped JV solves at flagship shapes
   post     device-side postprocess
 
@@ -55,7 +56,8 @@ def main():
     ap.add_argument('--n1', type=int, default=8)
     ap.add_argument('--n2', type=int, default=24)
     ap.add_argument('--stages',
-                    default='kernel,lstm,ab,scan,greedy,trunk,matcher,post')
+                    default='kernel,lstm,ab,scan,greedy,trunk,trunk_fwd,'
+                            'matcher,post')
     ap.add_argument('--probe-timeout', type=float, default=600)
     args = ap.parse_args()
 
@@ -100,7 +102,7 @@ def main():
                   lambda: bh.bench_lstm_kernel(args.batch, args.n1, args.n2))
 
     if any(s in stages for s in ('ab', 'scan', 'greedy', 'trunk',
-                                 'matcher', 'post')):
+                                 'trunk_fwd', 'matcher', 'post')):
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
 
@@ -154,6 +156,27 @@ def main():
                 return run
             for fuse in (0, 1):
                 run_stage(f'greedy_fuse{fuse}', greedy_ab(fuse))
+        if 'trunk_fwd' in stages:
+            # trunk sampling impl A/B: the dense XLA one-hot-matmul
+            # formulation vs the Pallas kernel (the 'auto' default is
+            # dense — models/pdvc.py::resolve_trunk_impl)
+            def trunk_impl_ab(impl):
+                def run():
+                    opt = _flagship_opt(frame_embedding_num=200,
+                                        max_caption_len=20,
+                                        tpu_mesh_data=1,
+                                        msda_trunk_impl=impl)
+                    tr = Trainer(opt)
+                    batch = _synthetic_batch(opt, B=args.batch)
+                    row = {}
+                    row.update(bh.bench_train(tr, batch, args.batch,
+                                              args.n1, args.n2))
+                    row.update(bh.bench_eval(tr, batch, args.batch,
+                                             args.n1, args.n2))
+                    return row
+                return run
+            for impl in ('dense', 'pallas'):
+                run_stage(f'trunk_fwd_{impl}', trunk_impl_ab(impl))
         tr, batch = build(0)
         if 'trunk' in stages:
             run_stage('trunk', lambda: bh.bench_trunk(
@@ -189,6 +212,11 @@ def main():
     if 'eval_step_ms' in g0 and 'eval_step_ms' in g1:
         rec['greedy_fuse_wins_eval'] = bool(
             g1['eval_step_ms'] < 0.97 * g0['eval_step_ms'])
+    td = results.get('trunk_fwd_dense', {})
+    tp = results.get('trunk_fwd_pallas', {})
+    if 'train_step_ms' in td and 'train_step_ms' in tp:
+        rec['trunk_dense_wins'] = bool(
+            td['train_step_ms'] < 0.97 * tp['train_step_ms'])
     rec['wall_s'] = round(time.time() - t0, 1)
     emit('recommendations', rec)
     if rec.get('tanh_rational_wins'):
@@ -203,6 +231,9 @@ def main():
     if rec.get('greedy_fuse_wins_eval'):
         print('FLIP: default dsa_greedy_fuse on (config.py, PDVCConfig, '
               'DSACaptionHead.greedy_fuse)')
+    if rec.get('trunk_dense_wins') is False:
+        print('FLIP: trunk auto should resolve to pallas again '
+              '(models/pdvc.py::resolve_trunk_impl)')
     print('Update BENCHMARKS.md with the new rows and re-run bench.py.')
     return 0
 
