@@ -307,17 +307,26 @@ def _attention_rel_pos(q, k, v, q_shape, k_shape, rel_h, rel_w, rel_t):
     Lk = kt * kh * kw
     scale = 1.0 / np.sqrt(D)
     f32 = jnp.float32
+    # Score/bias dtype: f32 keeps exact torchvision parity; under bf16
+    # inputs the score tensors stay bf16 (MXU accumulation is f32 either
+    # way — preferred_element_type only sets the OUTPUT dtype).  The
+    # early-block score tensor is the extraction forward's biggest byte
+    # stream (f32[8,2,6273,1568] = 630 MB with ~5 elementwise passes per
+    # block — HLO audit); bf16 halves every pass.  Softmax stability is
+    # preserved: the running max is exact in bf16 and the denominator sum
+    # accumulates in f32 below.
+    acc = jnp.bfloat16 if q.dtype == jnp.bfloat16 else f32
 
     q5 = q[:, :, 1:].reshape(B, nH, qt, qh, qw, D)
     Rt = _rel_idx(qt, kt, rel_t)
     Rh = _rel_idx(qh, kh, rel_h)
     Rw = _rel_idx(qw, kw, rel_w)
     bias_t = jnp.einsum('bnthwd,tkd->bnthwk', q5, Rt,
-                        preferred_element_type=f32).reshape(B, nH, Lq, kt)
+                        preferred_element_type=acc).reshape(B, nH, Lq, kt)
     bias_h = jnp.einsum('bnthwd,hkd->bnthwk', q5, Rh,
-                        preferred_element_type=f32).reshape(B, nH, Lq, kh)
+                        preferred_element_type=acc).reshape(B, nH, Lq, kh)
     bias_w = jnp.einsum('bnthwd,wkd->bnthwk', q5, Rw,
-                        preferred_element_type=f32).reshape(B, nH, Lq, kw)
+                        preferred_element_type=acc).reshape(B, nH, Lq, kw)
     bias_hw = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
         B, nH, Lq, kh * kw)
     # zero-bias row for the CLS query
@@ -327,16 +336,16 @@ def _attention_rel_pos(q, k, v, q_shape, k_shape, rel_h, rel_w, rel_t):
     k_cls, k_grid = k[:, :, 0], k[:, :, 1:]
     v_cls, v_grid = v[:, :, :1], v[:, :, 1:]
     s_grid = jnp.einsum('bhqd,bhkd->bhqk', q, k_grid,
-                        preferred_element_type=f32) * scale
+                        preferred_element_type=acc) * acc(scale)
     s_grid = (s_grid.reshape(B, nH, N1q, kt, kh * kw)
               + bias_t[..., :, None]
               + bias_hw[..., None, :]).reshape(B, nH, N1q, Lk)
     s_cls = (jnp.einsum('bhqd,bhd->bhq', q, k_cls,
-                        preferred_element_type=f32) * scale)[..., None]
+                        preferred_element_type=acc) * acc(scale))[..., None]
     m = jnp.maximum(jnp.max(s_grid, axis=-1, keepdims=True), s_cls)
-    e_cls = jnp.exp(s_cls - m)                         # (B, H, 1+Lq, 1)
+    e_cls = jnp.exp((s_cls - m).astype(f32))           # (B, H, 1+Lq, 1)
     e_grid = jnp.exp(s_grid - m)
-    denom = e_cls + jnp.sum(e_grid, axis=-1, keepdims=True)
+    denom = e_cls + jnp.sum(e_grid, axis=-1, keepdims=True, dtype=f32)
     out = (e_cls * v_cls.astype(f32)
            + jnp.einsum('bhqk,bhkd->bhqd', e_grid, v_grid,
                         preferred_element_type=f32)) / denom
@@ -413,7 +422,12 @@ class MultiscaleBlock(nn.Module):
         x = shortcut + attn_out
         h2 = nn.LayerNorm(name='norm2', epsilon=1e-5)(x)
         h2 = nn.Dense(int(spec.out_ch * self.mlp_ratio), name='mlp_fc1')(h2)
-        h2 = nn.gelu(h2, approximate=False)
+        # exact-erf GELU (torchvision nn.GELU default) in f32 for
+        # checkpoint parity; under bf16 inputs the tanh approximation is
+        # used instead — its |Δ| < 5e-4 is below bf16 resolution while
+        # XLA's exact-erf lowering costs several full u32 bit-twiddling
+        # passes over the (N, 4*ch) MLP tensor (extraction HLO audit)
+        h2 = nn.gelu(h2, approximate=(h2.dtype == jnp.bfloat16))
         h2 = nn.Dense(spec.out_ch, name='mlp_fc2')(h2)
         return x + h2, new_thw
 
