@@ -424,3 +424,207 @@ def convert_fusion(state_dict, flax_params=None, nheads=None,
                 'convert_fusion: converted shapes do not match the flax '
                 'FusionPDVC tree:\n  ' + '\n  '.join(mismatches[:15]))
     return params
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch export (the inverse direction: checkpoint interop back to
+# the reference stack, and a roundtrip harness for the importer above)
+# ---------------------------------------------------------------------------
+
+def _unwrap(flax_params, marker):
+    if 'params' in flax_params and marker not in flax_params:
+        return flax_params['params']
+    return flax_params
+
+
+def export_pdvc(flax_params, dec_layers=None):
+    """Flax PDVC params tree -> reference-layout torch ``state_dict``
+    (numpy arrays; ``torch.save({'model': {k: torch.tensor(v), ...}})`` on
+    the receiving side makes it a reference ``model-best.pth``).
+
+    Exact inverse of :func:`convert_pdvc` — roundtrip-pinned by
+    ``tests/test_export_torch.py``.  Shared prediction/caption heads
+    (``with_box_refine=0`` / ``share_caption_head=1``) are replicated
+    ``dec_layers`` times, matching how the reference's aliased
+    ``nn.ModuleList`` serializes (pdvc.py:87-93,111-118); ``dec_layers``
+    is inferred from the tree when not given.  The reference's dead
+    ``core.deformable_att.attention_weights/output_proj`` params are not
+    synthesized (the reference never consumes them; load with
+    ``strict=False`` or via this repo's converter).
+    """
+    p = _unwrap(flax_params, 'decoder_layer_0')
+    if dec_layers is None:
+        dec_layers = 0
+        while f'decoder_layer_{dec_layers}' in p:
+            dec_layers += 1
+    sd = {}
+
+    def get(path):
+        node = p
+        for q in path:
+            node = node[q]
+        return np.asarray(node)
+
+    def has(path):
+        node = p
+        for q in path:
+            if not isinstance(node, dict) or q not in node:
+                return False
+            node = node[q]
+        return True
+
+    def lin(src, dst):
+        sd[dst + '.weight'] = _t_lin(get(src + ('kernel',)))
+        sd[dst + '.bias'] = get(src + ('bias',))
+
+    def norm(src, dst):
+        sd[dst + '.weight'] = get(src + ('scale',))
+        sd[dst + '.bias'] = get(src + ('bias',))
+
+    # ---- base encoder ----------------------------------------------------
+    lin(('base_encoder', 'pos_embed', 'duration_embed_layer'),
+        'base_encoder.pos_embed.duration_embed_layer')
+    i = 0
+    while has(('base_encoder', f'input_proj_{i}')):
+        k = get(('base_encoder', f'input_proj_{i}', 'kernel'))   # (k, I, O)
+        sd[f'base_encoder.input_proj.{i}.0.weight'] = np.transpose(
+            k, (2, 1, 0))
+        sd[f'base_encoder.input_proj.{i}.0.bias'] = get(
+            ('base_encoder', f'input_proj_{i}', 'bias'))
+        norm(('base_encoder', f'input_proj_{i}_norm'),
+             f'base_encoder.input_proj.{i}.1')
+        i += 1
+
+    # ---- transformer -------------------------------------------------------
+    sd['transformer.level_embed'] = get(('level_embed',))
+    if has(('reference_points',)):
+        lin(('reference_points',), 'transformer.reference_points')
+    if has(('pos_trans',)):
+        lin(('pos_trans',), 'transformer.pos_trans')
+        norm(('pos_trans_norm',), 'transformer.pos_trans_norm')
+
+    def msda(src, dst):
+        for m in ('sampling_offsets', 'attention_weights', 'value_proj',
+                  'output_proj'):
+            lin(src + (m,), f'{dst}.{m}')
+
+    i = 0
+    while has((f'encoder_layer_{i}',)):
+        src = (f'encoder_layer_{i}',)
+        dst = f'transformer.encoder.layers.{i}'
+        msda(src + ('self_attn',), f'{dst}.self_attn')
+        norm(src + ('norm1',), f'{dst}.norm1')
+        lin(src + ('ffn', 'linear1'), f'{dst}.linear1')
+        lin(src + ('ffn', 'linear2'), f'{dst}.linear2')
+        norm(src + ('ffn', 'norm'), f'{dst}.norm2')
+        i += 1
+
+    i = 0
+    while has((f'decoder_layer_{i}',)):
+        src = (f'decoder_layer_{i}',)
+        dst = f'transformer.decoder.layers.{i}'
+        msda(src + ('cross_attn',), f'{dst}.cross_attn')
+        norm(src + ('norm1',), f'{dst}.norm1')
+        norm(src + ('norm2',), f'{dst}.norm2')
+        lin(src + ('ffn', 'linear1'), f'{dst}.linear1')
+        lin(src + ('ffn', 'linear2'), f'{dst}.linear2')
+        norm(src + ('ffn', 'norm'), f'{dst}.norm3')
+        sd.update(_flax_mha_to_torch(
+            {n: {'kernel': get(src + ('self_attn', n, 'kernel')),
+                 'bias': get(src + ('self_attn', n, 'bias'))}
+             for n in ('query', 'key', 'value', 'out')},
+            f'{dst}.self_attn'))
+        i += 1
+
+    # ---- queries + prediction heads ---------------------------------------
+    sd['query_embed.weight'] = get(('query_embed',))
+    if has(('class_head',)):       # shared (with_box_refine=0): replicate
+        for li in range(dec_layers):
+            lin(('class_head',), f'class_head.{li}')
+            lin(('count_head',), f'count_head.{li}')
+            for j in range(3):
+                lin(('bbox_head', f'layer{j}'), f'bbox_head.{li}.layers.{j}')
+    else:
+        i = 0
+        while has((f'class_head_{i}',)):
+            lin((f'class_head_{i}',), f'class_head.{i}')
+            lin((f'count_head_{i}',), f'count_head.{i}')
+            for j in range(3):
+                lin((f'bbox_head_{i}', f'layer{j}'),
+                    f'bbox_head.{i}.layers.{j}')
+            i += 1
+
+    # ---- caption head(s) ---------------------------------------------------
+    def export_caption_head(src_name, base):
+        head = p[src_name]
+        sd[f'{base}.embed.weight'] = np.asarray(head['embed'])
+        sd[f'{base}.logit.weight'] = _t_lin(head['logit_w'])
+        sd[f'{base}.logit.bias'] = np.asarray(head['logit_b'])
+        for k, v in head.items():
+            if k.startswith('rnn_w_'):
+                # rnn_w_ih_l{l} -> core.rnn.weight_ih_l{l}
+                tail = k[len('rnn_w_'):]
+                sd[f'{base}.core.rnn.weight_{tail}'] = _t_lin(v)
+        if 'dsa_sampling_offsets_w' in head:
+            dsa = f'{base}.core.deformable_att'
+            sd[f'{dsa}.sampling_offsets.weight'] = _t_lin(
+                head['dsa_sampling_offsets_w'])
+            sd[f'{dsa}.sampling_offsets.bias'] = np.asarray(
+                head['dsa_sampling_offsets_b'])
+            sd[f'{dsa}.value_proj.weight'] = _t_lin(head['dsa_value_w'])
+            sd[f'{dsa}.value_proj.bias'] = np.asarray(head['dsa_value_b'])
+            for tname in ('ctx2att', 'h2att', 'alpha_net'):
+                if f'{tname}_w' in head:
+                    sd[f'{base}.core.{tname}.weight'] = _t_lin(
+                        head[f'{tname}_w'])
+                    sd[f'{base}.core.{tname}.bias'] = np.asarray(
+                        head[f'{tname}_b'])
+
+    if has(('caption_head',)):     # shared: replicate per decoder layer
+        for li in range(dec_layers):
+            export_caption_head('caption_head', f'caption_head.{li}')
+    else:
+        i = 0
+        while has((f'caption_head_{i}',)):
+            export_caption_head(f'caption_head_{i}', f'caption_head.{i}')
+            i += 1
+
+    return sd
+
+
+def _flax_mha_to_torch(mha, dst):
+    """Flax MultiHeadDotProductAttention params -> packed torch
+    ``nn.MultiheadAttention`` keys (inverse of :func:`_torch_mha_to_flax`)."""
+    ws, bs = [], []
+    E = mha['query']['kernel'].shape[0]
+    for n in ('query', 'key', 'value'):
+        ws.append(_t_lin(np.asarray(mha[n]['kernel']).reshape(E, -1)))
+        bs.append(np.asarray(mha[n]['bias']).reshape(-1))
+    out_k = np.asarray(mha['out']['kernel'])
+    return {
+        f'{dst}.in_proj_weight': np.concatenate(ws, axis=0),
+        f'{dst}.in_proj_bias': np.concatenate(bs, axis=0),
+        f'{dst}.out_proj.weight': _t_lin(out_k.reshape(-1, out_k.shape[-1])),
+        f'{dst}.out_proj.bias': np.asarray(mha['out']['bias']),
+    }
+
+
+def export_fusion(flax_params, dec_layers=None):
+    """Flax ``FusionPDVC`` params -> reference ``NewModel`` state_dict
+    (inverse of :func:`convert_fusion`; the HuBERT ``sound_model.*``
+    subtree is not synthesized — audio features live in the data pipeline
+    here, and the reference loads its own HuBERT weights from torchaudio)."""
+    p = _unwrap(flax_params, 'visual_sa')
+    sd = {f'pdvcModel.{k}': v
+          for k, v in export_pdvc(p['pdvc'], dec_layers).items()}
+    for src, ln, mha, mlp in (('visual_sa', 'ln1', 'mha1', 'mlp_seq1'),
+                              ('sound_ca', 'ln2', 'mha2', 'mlp_seq2')):
+        blk = p[src]
+        sd.update(_flax_mha_to_torch(blk['mha'], mha))
+        sd[f'{ln}.weight'] = np.asarray(blk['ln']['scale'])
+        sd[f'{ln}.bias'] = np.asarray(blk['ln']['bias'])
+        sd[f'{mlp}.0.weight'] = _t_lin(blk['mlp_fc']['kernel'])
+        sd[f'{mlp}.0.bias'] = np.asarray(blk['mlp_fc']['bias'])
+        sd[f'{mlp}.1.weight'] = np.asarray(blk['mlp_ln']['scale'])
+        sd[f'{mlp}.1.bias'] = np.asarray(blk['mlp_ln']['bias'])
+    return sd
