@@ -102,11 +102,19 @@ class FeatureExtractor:
                                 frame_rate, stride)
         if not clips:
             return np.zeros((0, self.feat_dim), np.float32)
+        from ...data.prefetch import PrefetchLoader
         feats = []
         batcher = ClipBatcher(clips, batch_size, self.clip_len, frame_rate,
                               self.backbone)
-        for x, n, _ in batcher:
-            # cast on host: halves the transfer and skips the in-graph cast
-            x = jnp.asarray(np.asarray(x).astype(self.input_dtype))
+
+        def staged():
+            for x, n, _ in batcher:
+                # cast on host: halves the transfer, skips the in-graph
+                # cast; device transfer while the previous batch computes
+                yield jnp.asarray(np.asarray(x).astype(self.input_dtype)), n
+
+        # background decode thread: cv2 decode + resize of the NEXT batch
+        # overlaps the device forward of the current one
+        for x, n in PrefetchLoader(staged()):
             feats.append(np.asarray(self.features(x))[:n])
         return np.concatenate(feats)
