@@ -54,17 +54,19 @@ class FeatureExtractor:
         @jax.jit
         def features_fn(x):
             if dtype == 'bfloat16':
-                # no-op when the caller already transferred bf16 (the
-                # fast path: an in-graph f32->bf16 cast of the raw clip
-                # tensor costs ~2.7 ms per (8,16,224,224,3) batch on v5e
-                # — device profile — and doubles the host->HBM transfer)
+                # the cast stays IN-GRAPH on an f32 input deliberately:
+                # feeding bf16 from the host measures 10.6 ms/clip vs 4.82
+                # with f32 input + this cast (HW A/B) — the bf16 (2,1)
+                # sub-tiled layout of the 3-channel clip tensor makes the
+                # patchify pad/reshape passes catastrophically slower,
+                # far outweighing the saved cast + transfer bytes
                 x = x.astype(jnp.bfloat16)
             _, feats = model.apply(self.variables, x, return_features=True)
             return feats.astype(jnp.float32)
 
         self.features = features_fn
-        self.input_dtype = (jnp.bfloat16 if dtype == 'bfloat16'
-                            else jnp.float32)
+        # host transfer dtype: f32 on purpose — see the cast note above
+        self.input_dtype = jnp.float32
 
     def _load_checkpoint(self, checkpoint, variables):
         if checkpoint.endswith('.pth'):
