@@ -92,21 +92,30 @@ def dsa_sample_attend_ref(value, offsets, ref_center, offset_scale, hvec,
 # the 'rational' impl is the 13/6-degree rational approximation
 # (Eigen/XLA's float tanh: ~12 FMA + 1 divide); it matches tanh to 3.6e-7
 # max abs error over the full range — below f32 ulp noise for this op, so
-# the parity tests hold unchanged.  Select with DVC_DSA_TANH=native|rational
-# (read at trace time; the module variable overrides the env for tests).
+# the parity tests hold unchanged.  Select with
+# DVC_DSA_TANH=native|rational|bf16 (read at trace time; the module
+# variable overrides the env for tests).
 # 'native' is the hardware-validated default: on the real v5e Mosaic's
 # native tanh beat the rational form 4x on the fused forward
 # (HW_VALIDATION.jsonl stage 'kernel').
+# 'bf16' evaluates the transcendental on bf16 lanes (2 elements/lane;
+# microbenched ~17-27% faster than f32 native at the scan's (HQ·LP, A)
+# shape) and upcasts the result — |Δtanh| ≤ ~4e-3, a NUMERICS DEVIATION
+# from the f32 attention scores the reference computes, so it is opt-in
+# and never a default (HW_VALIDATION.jsonl stage 'tanh_bf16').
 _TANH_IMPL = None
 _TANH_DEFAULT = 'native'
 
 
 def _kernel_tanh(x):
     impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', _TANH_DEFAULT)
-    if impl not in ('native', 'rational'):
-        raise ValueError(f'DVC_DSA_TANH must be native|rational, got {impl!r}')
+    if impl not in ('native', 'rational', 'bf16'):
+        raise ValueError(
+            f'DVC_DSA_TANH must be native|rational|bf16, got {impl!r}')
     if impl == 'native':
         return jnp.tanh(x)
+    if impl == 'bf16':
+        return jnp.tanh(x.astype(jnp.bfloat16)).astype(x.dtype)
     xc = jnp.clip(x, -7.90531110763549805, 7.90531110763549805)
     x2 = xc * xc
     num = jnp.float32(-2.76076847742355e-16)
@@ -130,7 +139,10 @@ def _kernel_sigmoid(x):
     the LSTM gates off Mosaic's exp-based logistic.  'native' returns the
     stock op (bit-identical to the validated default path)."""
     impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', _TANH_DEFAULT)
-    if impl == 'native':
+    if impl != 'rational':
+        # 'bf16' keeps the gates in f32 too: the LSTM recurrence is far
+        # more rounding-sensitive than the attention scores, and the gate
+        # tensor (Q, 4R) is ~30x smaller than the attention's (HQ·LP, A)
         return jax.nn.sigmoid(x)
     return 0.5 + 0.5 * _kernel_tanh(x * 0.5)
 
@@ -252,13 +264,24 @@ def _attn_bwd_from_g(value, taps4, a, w, Ms, cw_ref, aw_ref, g,
 # LSTM-cell math (num_layers == 1, bias-free — torch nn.LSTM(bias=False))
 # ----------------------------------------------------------------------------
 
+def _gate_tanh(x):
+    """Cell/gate tanh: follows 'rational' (formulation change, exact to
+    f32 ulp) but NOT 'bf16' — rounding in the recurrent state compounds
+    over the word scan, and the gate tensors are ~30x smaller than the
+    attention's, so there is nothing to win there anyway."""
+    impl = _TANH_IMPL or os.environ.get('DVC_DSA_TANH', _TANH_DEFAULT)
+    if impl == 'rational':
+        return _kernel_tanh(x)
+    return jnp.tanh(x)
+
+
 def _lstm_cell_fwd(z, c_prev):
     """z: (..., 4R) preactivation in torch gate order (i, f, g, o);
     c_prev: (..., R).  Returns (h_new, c_new)."""
     i, f, g, o = jnp.split(z, 4, axis=-1)
     c_new = (_kernel_sigmoid(f) * c_prev
-             + _kernel_sigmoid(i) * _kernel_tanh(g))
-    h_new = _kernel_sigmoid(o) * _kernel_tanh(c_new)
+             + _kernel_sigmoid(i) * _gate_tanh(g))
+    h_new = _kernel_sigmoid(o) * _gate_tanh(c_new)
     return h_new, c_new
 
 
@@ -269,9 +292,9 @@ def _lstm_cell_bwd(z, c_prev, gh, gc):
     si = _kernel_sigmoid(i)
     sf = _kernel_sigmoid(f)
     so = _kernel_sigmoid(o)
-    tg = _kernel_tanh(g)
+    tg = _gate_tanh(g)
     c_new = sf * c_prev + si * tg
-    th = _kernel_tanh(c_new)
+    th = _gate_tanh(c_new)
     dc_tot = gc + gh * so * (1.0 - th * th)
     do = gh * th * so * (1.0 - so)
     df = dc_tot * c_prev * sf * (1.0 - sf)

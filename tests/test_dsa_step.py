@@ -297,6 +297,43 @@ def test_rational_tanh_full_op_parity():
                                rtol=3e-4, atol=3e-5)
 
 
+def test_bf16_tanh_accuracy_and_op_tolerance():
+    """DVC_DSA_TANH=bf16 evaluates only the attention tanh on bf16 lanes:
+    elementwise |Δ| must stay within bf16 resolution (~1/256 relative),
+    the LSTM gates must remain bit-identical to native f32, and the full
+    sample+attend op must stay within a loosened (documented) tolerance
+    of the f32 oracle."""
+    import dvc_tpu.ops.dsa_step as dsa_mod
+    x = jnp.asarray(np.linspace(-6.0, 6.0, 20001), jnp.float32)
+    try:
+        dsa_mod._TANH_IMPL = 'bf16'
+        t_err = np.abs(np.asarray(dsa_mod._kernel_tanh(x))
+                       - np.tanh(np.asarray(x)))
+        assert t_err.max() < 8e-3, t_err.max()
+        # ...and the rounding must actually engage (a zero error would
+        # mean the bf16 branch silently fell through to f32)
+        assert t_err.max() > 1e-4, t_err.max()
+        # gates stay f32-native under bf16 mode
+        np.testing.assert_array_equal(np.asarray(dsa_mod._gate_tanh(x)),
+                                      np.asarray(jnp.tanh(x)))
+        np.testing.assert_array_equal(
+            np.asarray(dsa_mod._kernel_sigmoid(x)),
+            np.asarray(jax.nn.sigmoid(x)))
+        args, shapes = make_inputs(seed=13)
+        got = dsa_sample_attend(*args, shapes, impl='pallas_interpret')
+        g = jax.grad(lambda v: jnp.sum(dsa_sample_attend(
+            v, *args[1:], shapes, impl='pallas_interpret') ** 2))(args[0])
+    finally:
+        dsa_mod._TANH_IMPL = None
+    want = dsa_sample_attend_ref(*args, shapes)
+    g_ref = jax.grad(lambda v: jnp.sum(dsa_sample_attend_ref(
+        v, *args[1:], shapes) ** 2))(args[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_out_of_range_taps_border():
     """Locations pushed far out of range must follow border semantics and
     give zero location-gradient there."""

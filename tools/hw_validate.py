@@ -102,7 +102,7 @@ def main():
                   lambda: bh.bench_lstm_kernel(args.batch, args.n1, args.n2))
 
     if any(s in stages for s in ('ab', 'scan', 'greedy', 'trunk',
-                                 'trunk_fwd', 'matcher', 'post')):
+                                 'trunk_fwd', 'tanh', 'matcher', 'post')):
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
 
@@ -177,6 +177,27 @@ def main():
                 return run
             for impl in ('dense', 'pallas'):
                 run_stage(f'trunk_fwd_{impl}', trunk_impl_ab(impl))
+        if 'tanh' in stages:
+            # in-kernel tanh dtype A/B: the fused scans' additive-attention
+            # tanh on bf16 lanes (DVC_DSA_TANH=bf16, a documented numerics
+            # deviation) vs the f32 native default
+            def tanh_ab(impl):
+                def run():
+                    import dvc_tpu.ops.dsa_step as dsa_mod
+                    dsa_mod._TANH_IMPL = impl
+                    try:
+                        tr, batch = build(0)
+                        row = {}
+                        row.update(bh.bench_train(tr, batch, args.batch,
+                                                  args.n1, args.n2))
+                        row.update(bh.bench_eval(tr, batch, args.batch,
+                                                 args.n1, args.n2))
+                    finally:
+                        dsa_mod._TANH_IMPL = None
+                    return row
+                return run
+            for impl in ('native', 'bf16'):
+                run_stage(f'tanh_{impl}', tanh_ab(impl))
         tr, batch = build(0)
         if 'trunk' in stages:
             run_stage('trunk', lambda: bh.bench_trunk(
@@ -212,6 +233,11 @@ def main():
     if 'eval_step_ms' in g0 and 'eval_step_ms' in g1:
         rec['greedy_fuse_wins_eval'] = bool(
             g1['eval_step_ms'] < 0.97 * g0['eval_step_ms'])
+    t0_ = results.get('tanh_native', {})
+    t1_ = results.get('tanh_bf16', {})
+    if 'train_step_ms' in t0_ and 'train_step_ms' in t1_:
+        rec['tanh_bf16_wins_train'] = bool(
+            t1_['train_step_ms'] < 0.97 * t0_['train_step_ms'])
     td = results.get('trunk_fwd_dense', {})
     tp = results.get('trunk_fwd_pallas', {})
     if 'train_step_ms' in td and 'train_step_ms' in tp:
