@@ -24,13 +24,19 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument('--video-dir', type=str, default=None)
+    # --data-path is the reference flag name (TSP extract_features/opts.py:31)
+    p.add_argument('--video-dir', '--data-path', dest='video_dir',
+                   type=str, default=None)
     p.add_argument('--metadata-csv-filename', type=str, default=None)
     p.add_argument('--backbone', type=str, default='mvit_v2_s',
                    choices=['r2plus1d_34', 'r2plus1d_18', 'r3d_18',
                             'mvit_v2_s'])
     p.add_argument('--local-checkpoint', type=str, default=None,
                    help='.ckpt (flax pickle) or .pth (torch) TSP weights')
+    p.add_argument('--released-checkpoint', type=str, default=None,
+                   help='name of a released TSP checkpoint (reference '
+                        'opts.py:43); fetched via tools/fetch_artifacts.py '
+                        'when egress exists, then used as --local-checkpoint')
     p.add_argument('--clip-len', type=int, default=16)
     p.add_argument('--frame-rate', type=float, default=15)
     p.add_argument('--stride', type=int, default=16)
@@ -42,7 +48,20 @@ def parse_args():
                    choices=['float32', 'bfloat16'],
                    help='compute dtype for extraction (features are '
                         'written as float32 either way)')
-    return p.parse_args()
+    # reference flags with no TPU meaning, accepted so reference command
+    # lines run unchanged (decode threading is internal here; the device
+    # is whatever jax.default_backend() says)
+    p.add_argument('--device', type=str, default=None)
+    p.add_argument('--workers', type=int, default=None)
+    args = p.parse_args()
+    if args.released_checkpoint and not args.local_checkpoint:
+        from tools.fetch_artifacts import fetch_released_tsp_checkpoint
+        args.local_checkpoint = fetch_released_tsp_checkpoint(
+            args.released_checkpoint)
+        # the reference derives the backbone from the checkpoint name
+        # (extract_features.py:129)
+        args.backbone = args.released_checkpoint.split('-')[0]
+    return args
 
 
 def load_videos(args):

@@ -53,7 +53,7 @@ python eval.py --eval_save_dir "$model_folder" --eval_mode test \
 
 # 4. caption overlay rendering
 python visualization/visualization.py \
-    --dvc_file "$model_folder/test_results.json" \
+    --dvc_file "$model_folder/dvc_results.json" \
     --video_folder "$video_folder" \
     --output_folder "$output_folder/videos" \
     --output_language "$language"

@@ -67,7 +67,7 @@ def test_full_shell_pipeline(tmp_path):
     assert (out_dir / 'features' / 'v_shell000001.npy').exists() or \
         (out_dir / 'features' / 'v_shell000001'[:13]).exists() or \
         any(f.endswith('.npy') for f in os.listdir(out_dir / 'features'))
-    results_path = os.path.join(run_folder, 'test_results.json')
+    results_path = os.path.join(run_folder, 'dvc_results.json')
     assert os.path.exists(results_path)
     with open(results_path) as f:
         res = json.load(f)

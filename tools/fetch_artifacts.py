@@ -47,6 +47,70 @@ ANET_DENSECAP = 'http://youcook2.eecs.umich.edu/static/dat/anet_densecap'
 ANET_C3D = ('http://ec2-52-25-205-214.us-west-2.compute.amazonaws.com'
             '/data/challenge16/features/c3d')
 TSP_REL = 'https://github.com/HumamAlwassel/TSP/releases/download'
+
+# released TSP/TAC model weights (reference
+# video_backbone/TSP/extract_features/extract_features.py:31-50) —
+# extract_features.py --released-checkpoint resolves names through this
+_W = f'{TSP_REL}/model_weights'
+RELEASED_TSP_CHECKPOINTS = {
+    'r2plus1d_34-tsp_on_activitynet':
+        f'{_W}/r2plus1d_34-tsp_on_activitynet-max_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.002-epoch_5-0d2cf854.pth',
+    'r2plus1d_34-tsp_on_thumos14':
+        f'{_W}/r2plus1d_34-tsp_on_thumos14-max_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.004-epoch_4-e6a30b2f.pth',
+    'r2plus1d_34-tac_on_activitynet':
+        f'{_W}/r2plus1d_34-tac_on_activitynet-backbone_lr_0.0001'
+        '-fc_lr_0.002-epoch_5-98ccac94.pth',
+    'r2plus1d_34-tac_on_thumos14':
+        f'{_W}/r2plus1d_34-tac_on_thumos14-backbone_lr_0.00001'
+        '-fc_lr_0.002-epoch_3-54b5c8aa.pth',
+    'r2plus1d_34-tac_on_kinetics':
+        f'{_W}/r2plus1d_34-tac_on_kinetics-0547130e.pth',
+    'r2plus1d_34-tsp_on_activitynet-avg_gvf':
+        f'{_W}/r2plus1d_34-tsp_on_activitynet-avg_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.004-epoch_5-8b74eaa2.pth',
+    'r2plus1d_34-tsp_on_activitynet-no_gvf':
+        f'{_W}/r2plus1d_34-tsp_on_activitynet-no_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.004-epoch_5-fb38fdd2.pth',
+    'r2plus1d_18-tsp_on_activitynet':
+        f'{_W}/r2plus1d_18-tsp_on_activitynet-max_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.002-epoch_6-22835b73.pth',
+    'r2plus1d_18-tac_on_activitynet':
+        f'{_W}/r2plus1d_18-tac_on_activitynet-backbone_lr_0.0001'
+        '-fc_lr_0.004-epoch_5-9f56941a.pth',
+    'r2plus1d_18-tac_on_kinetics':
+        f'{_W}/r2plus1d_18-tac_on_kinetics-76ce975c.pth',
+    'r3d_18-tsp_on_activitynet':
+        f'{_W}/r3d_18-tsp_on_activitynet-max_gvf-backbone_lr_0.0001'
+        '-fc_lr_0.002-epoch_6-85584422.pth',
+    'r3d_18-tac_on_activitynet':
+        f'{_W}/r3d_18-tac_on_activitynet-backbone_lr_0.001'
+        '-fc_lr_0.01-epoch_5-31fd6e95.pth',
+    'r3d_18-tac_on_kinetics':
+        f'{_W}/r3d_18-tac_on_kinetics-dcd952c6.pth',
+}
+
+
+def fetch_released_tsp_checkpoint(name, dl_dir=None):
+    """Resolve a released-checkpoint name to a local .pth, downloading it
+    when egress exists.  Raises with the URL when offline so the user can
+    fetch it out of band."""
+    if name not in RELEASED_TSP_CHECKPOINTS:
+        known = ', '.join(sorted(RELEASED_TSP_CHECKPOINTS))
+        raise SystemExit(f'unknown released checkpoint {name!r}; '
+                         f'known: {known}')
+    url = RELEASED_TSP_CHECKPOINTS[name]
+    dl_dir = dl_dir or os.path.join(REPO, 'data', 'downloads')
+    os.makedirs(dl_dir, exist_ok=True)
+    out = os.path.join(dl_dir, url.rsplit('/', 1)[-1])
+    if os.path.exists(out):
+        return out
+    if not have_network():
+        raise SystemExit(
+            f'released checkpoint {name} is not cached and this '
+            f'environment has no egress; fetch {url} to {dl_dir}')
+    return fetch_url(url, dl_dir)
 BMT = 'https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/bmt'
 METEOR_URL = ('https://github.com/cmu-mtlab/meteor/releases/download/'
               'v1.5/meteor-1.5.tar.gz')
