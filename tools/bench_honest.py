@@ -131,6 +131,56 @@ def bench_post(trainer, batch, B, n1, n2):
     return {'postprocess_ms': round(ms, 3)}
 
 
+def bench_tsp_train(B, n1, n2, backbone='mvit_v2_s', clip_len=16,
+                    size=None):
+    """TSP pretraining step (backbone fwd+bwd + two CE heads + per-group
+    SGD) — the reference's only multi-GPU path (TSP/train/train.py).
+    Same in-graph fori protocol as the PDVC step benches.  f32 params
+    (the trainer's regime; bf16 is an extraction-path option)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from dvc_tpu.train.tsp_trainer import TSPTrainer
+    from dvc_tpu.utils.config import load_config
+    size = size or (112 if backbone.startswith(('r2plus1d', 'r3d'))
+                    else 224)
+    opt = load_config(backbone_tsp=backbone, tsp_num_classes=(2, 2),
+                      tsp_num_heads=2, loss_alphas=[1.0, 1.0],
+                      backbone_lr=1e-4, fc_lr=1e-3)
+    trainer = TSPTrainer(opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        'clip': jnp.asarray(rng.standard_normal(
+            (B, clip_len, size, size, 3)).astype(np.float32)),
+        'label0': jnp.asarray(rng.integers(0, 2, B), jnp.int32),
+        'label1': jnp.asarray(rng.integers(0, 2, B), jnp.int32),
+    }
+    state = trainer.init_state(batch)
+    step = trainer._step_impl
+    lr_mult = state['lr_mult']
+
+    @jax.jit
+    def make_prog(n, variables, opt_state):
+        def body(i, carry):
+            variables, opt_state, acc = carry
+            b = dict(batch)
+            b['clip'] = batch['clip'] + jnp.sin(acc) * 1e-12
+            variables, opt_state, metrics = step(
+                variables, opt_state, lr_mult, b, jnp.float32(1.0))
+            return variables, opt_state, metrics['total']
+        carry = jax.lax.fori_loop(
+            0, n, body, (variables, opt_state, jnp.float32(0.0)))
+        return carry[2]
+
+    ms, _ = _pair(make_prog, n1, n2, state['variables'],
+                  state['opt_state'])
+    key = f'tsp_train_{backbone}'
+    return {f'{key}_step_ms': round(ms, 2),
+            f'{key}_clips_per_sec': round(B / ms * 1e3, 1),
+            f'{key}_ms_per_clip': round(ms / B, 3)}
+
+
 def bench_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
     """Standalone fused caption-step kernel (dsa_sample_attend) at the
     flagship training shapes, fwd and fwd+bwd, per tanh formulation —
@@ -445,6 +495,13 @@ def main():
         results.update(bench_matcher(args.batch, args.n1, args.n2))
         print(json.dumps(results))
         whats.remove('matcher')
+    for w in [w for w in whats if w.startswith('tsp')]:
+        # 'tsp' (mvit default) or 'tsp:<backbone>', e.g. tsp:r2plus1d_34
+        backbone = w.partition(':')[2] or 'mvit_v2_s'
+        results.update(bench_tsp_train(args.batch, args.n1, args.n2,
+                                       backbone=backbone))
+        print(json.dumps(results))
+        whats.remove(w)
     if whats:
         from __graft_entry__ import _flagship_opt, _synthetic_batch
         from dvc_tpu.train import Trainer
