@@ -176,9 +176,22 @@ def bench_tsp_train(B, n1, n2, backbone='mvit_v2_s', clip_len=16,
     ms, _ = _pair(make_prog, n1, n2, state['variables'],
                   state['opt_state'])
     key = f'tsp_train_{backbone}'
-    return {f'{key}_step_ms': round(ms, 2),
-            f'{key}_clips_per_sec': round(B / ms * 1e3, 1),
-            f'{key}_ms_per_clip': round(ms / B, 3)}
+    out = {f'{key}_step_ms': round(ms, 2),
+           f'{key}_clips_per_sec': round(B / ms * 1e3, 1),
+           f'{key}_ms_per_clip': round(ms / B, 3)}
+    try:
+        from dvc_tpu.utils.roofline import compiled_costs, roofline
+        costs = compiled_costs(
+            lambda v, o: step(v, o, lr_mult, batch, jnp.float32(1.0)),
+            state['variables'], state['opt_state'])
+        roof = roofline(costs, ms / 1e3)
+        if roof:
+            out[f'{key}_mfu'] = roof['mfu']
+            out[f'{key}_gflop_per_clip'] = round(
+                roof['flops_per_step'] / B / 1e9, 1)
+    except Exception:
+        pass
+    return out
 
 
 def bench_kernel(B, n1, n2, tanh_impls=('native', 'rational')):
