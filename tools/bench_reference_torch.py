@@ -77,7 +77,7 @@ def synthetic_batch(opt, seed=3):
         e = min(s + rng.uniform(0.1, 0.25) * duration, duration)
         boxes[0, j] = [(s + e) / (2 * duration), (e - s) / duration]
         gmask[0, j] = True
-        n_words = int(rng.integers(8, Lc - 2))
+        n_words = int(rng.integers(min(8, Lc - 3), Lc - 2))
         caps[0, j, 1:1 + n_words] = rng.integers(
             1, opt.vocab_size, n_words)
         cmask[0, j, :n_words + 2] = True
