@@ -132,6 +132,41 @@ def main():
         except Exception:
             roof = None
 
+    # Eval-step throughput (greedy decode of all Nq queries + heads),
+    # same in-graph two-point protocol.  Guarded: the headline train
+    # number must survive any eval-side failure.
+    eval_extra = {}
+    if os.environ.get('BENCH_EVAL', '1') != '0':
+        try:
+            apply = trainer.model.apply
+
+            @jax.jit
+            def eprog(n, params):
+                def body(i, acc):
+                    b = dict(batch)
+                    b['video_tensor'] = (batch['video_tensor']
+                                         + jnp.sin(acc) * 1e-12)
+                    out, _ = apply(params, b, eval_mode=True)
+                    return (jnp.sum(out['cap_prob_eval'])
+                            + jnp.sum(out['pred_boxes'])) * 1e-6
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            def etimed(n):
+                t0 = time.perf_counter()
+                v = jax.device_get(eprog(jnp.int32(n), state['params']))
+                assert v == v, 'non-finite eval probe'
+                return time.perf_counter() - t0
+
+            etimed(n1)
+            etimed(n2)
+            edt = etimed(n2) - etimed(n1)
+            eval_extra = {
+                'eval_step_ms': round(edt / (n2 - n1) * 1e3, 3),
+                'eval_videos_per_sec': round((n2 - n1) * B / edt, 3),
+            }
+        except Exception:
+            eval_extra = {}
+
     rec = {
         'metric': 'train_throughput_videos_per_sec_per_chip',
         'value': round(vps, 3),
@@ -150,6 +185,7 @@ def main():
         if 'hbm_util' in roof:
             rec['hbm_util'] = roof['hbm_util']
             rec['roofline_pct'] = roof['roofline_pct']
+    rec.update(eval_extra)
     print(json.dumps(rec))
 
 
