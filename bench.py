@@ -5,9 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Metric: YC2-class training throughput, videos/sec/chip, on the
-yc2_newModel_sound model shape (3-layer deformable transformer, d=512,
-Nq=100, T=200 frames, 768-d features, LSTM-DSA caption head) with synthetic
-data (feature-mode training is compute-bound on the model, not the loader).
+yc2_newModel_sound model (FusionPDVC: 32-head visual self-attention +
+audio cross-attention over synthetic HuBERT features + 3-layer deformable
+transformer, d=512, Nq=100, T=200 frames, 768-d features, LSTM-DSA caption
+head) with synthetic data (feature-mode training is compute-bound on the
+model, not the loader).  BENCH_MODEL=pdvc benches the bare PDVC at the
+same shape (the round-1..4 headline surface) for a like-for-like delta.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 BASELINE.json's target is >=5x A100 training throughput; the reference's
@@ -63,12 +66,17 @@ def main():
     from dvc_tpu.parallel.mesh import shard_batch
 
     B = int(os.environ.get('BENCH_BATCH', '16'))
+    model_kind = os.environ.get('BENCH_MODEL', 'fusion')
     opt = _flagship_opt(frame_embedding_num=200, max_caption_len=20,
                         tpu_mesh_data=1)
     from dvc_tpu.train.trainer import step_prng_key
 
-    trainer = Trainer(opt)
-    batch = _synthetic_batch(opt, B=B)
+    if model_kind == 'fusion':
+        from newTrain import make_fusion_trainer
+        trainer = make_fusion_trainer(opt)
+    else:
+        trainer = Trainer(opt)
+    batch = _synthetic_batch(opt, B=B, with_sound=model_kind == 'fusion')
     state = trainer.init_state(batch)
     rng = step_prng_key(opt, 0)
     # device-resident input: the training pipeline prefetches/overlaps the
@@ -164,7 +172,10 @@ def main():
                 'eval_step_ms': round(edt / (n2 - n1) * 1e3, 3),
                 'eval_videos_per_sec': round((n2 - n1) * B / edt, 3),
             }
-        except Exception:
+        except Exception as e:
+            # headline must survive, but a silent {} is indistinguishable
+            # from BENCH_EVAL=0 — leave a trace (ADVICE r04)
+            print(f'eval probe failed: {e!r}', file=sys.stderr)
             eval_extra = {}
 
     rec = {
@@ -178,6 +189,9 @@ def main():
                           'BENCHMARKS.md'),
         'step_ms': round(step_s * 1e3, 3),
         'batch': B,
+        'model': ('FusionPDVC (yc2_newModel_sound: visual self-attn + '
+                  'audio cross-attn + PDVC)' if model_kind == 'fusion'
+                  else 'PDVC (bare, fusion-recipe shape)'),
     }
     if roof:
         rec['mfu'] = roof['mfu']

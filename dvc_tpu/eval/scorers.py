@@ -34,6 +34,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import sys
 from collections import Counter, defaultdict
 
 # ---------------------------------------------------------------------------
@@ -51,8 +52,8 @@ _CLITIC_SPLIT = re.compile(r"(?<=[a-z])(n't|'s|'re|'ve|'ll|'d|'m)(?![a-z0-9])")
 
 _TOKEN_RE = re.compile(
     r"n't|'(?:s|re|ve|ll|d|m)(?![a-z0-9])"  # split-off clitics
-    r"|\d+(?:[.,]\d+)*"                     # 3.5 / 1,000 stay one token
-    r"|[a-z0-9]+(?:['-][a-z0-9]+)*"         # words incl. stir-fry, o'clock
+    r"|\d+(?:[.,]\d+)+"                     # 3.5 / 1,000 stay one token
+    r"|[a-z0-9]+(?:['-][a-z0-9]+)*"         # words/ranges: stir-fry, 5-6
     r"|[^\sa-z0-9]")
 
 
@@ -65,9 +66,64 @@ def ptb_tokenize(caption: str) -> str:
     return ' '.join(t for t in _TOKEN_RE.findall(s) if t not in _PUNCT)
 
 
+# the reference's post-filter applied to the jar's token stream
+# (ptbtokenizer.py:21-22,64-65)
+_JAR_PUNCTUATIONS = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-",
+                     "-RCB-", ".", "?", "!", ",", ":", "-", "--", "...",
+                     ";"}
+
+
+def _ptb_filter_jar_lines(lines):
+    """Drop PUNCTUATIONS from each jar output line (the reference's
+    post-filter, ``ptbtokenizer.py:64-65``)."""
+    return [' '.join(w for w in line.rstrip().split(' ')
+                     if w not in _JAR_PUNCTUATIONS) for line in lines]
+
+
+def _ptb_jar_tokenize(captions, jar):
+    """Tokenize a flat list of raw caption strings through the Stanford
+    CoreNLP jar — the exact protocol of the reference's wrapper
+    (``pycocoevalcap/tokenizer/ptbtokenizer.py:28-67``: temp file,
+    ``edu.stanford.nlp.process.PTBTokenizer -preserveLines -lowerCase``,
+    then the PUNCTUATIONS post-filter)."""
+    import subprocess
+    import tempfile
+    sentences = '\n'.join(c.replace('\n', ' ') for c in captions)
+    with tempfile.NamedTemporaryFile('w', suffix='.txt',
+                                     delete=False) as f:
+        f.write(sentences)
+        tmp = f.name
+    try:
+        out = subprocess.run(
+            ['java', '-cp', jar, 'edu.stanford.nlp.process.PTBTokenizer',
+             '-preserveLines', '-lowerCase', tmp],
+            capture_output=True, text=True, check=True).stdout
+    finally:
+        os.remove(tmp)
+    return _ptb_filter_jar_lines(out.split('\n')[:len(captions)])
+
+
 def tokenize_dict(caps: dict) -> dict:
     """{id: [{'caption': str}, ...]} -> {id: [tokenized str, ...]}
-    (the pycocoevalcap tokenizer interface used by the eval stack)."""
+    (the pycocoevalcap tokenizer interface used by the eval stack).
+
+    Score-parity mode: when ``DVC_PTB_JAR`` points at
+    ``stanford-corenlp-3.4.1.jar`` the captions go through the official
+    tokenizer instead of the python approximation (mirrors
+    ``DVC_METEOR_JAR``); a jar failure falls back with a stderr note."""
+    jar = os.environ.get('DVC_PTB_JAR')
+    if jar and os.path.exists(jar):
+        keys = [k for k, v in caps.items() for _ in v]
+        flat = [c['caption'] for v in caps.values() for c in v]
+        try:
+            toks = _ptb_jar_tokenize(flat, jar)
+            out = {}
+            for k, t in zip(keys, toks):
+                out.setdefault(k, []).append(t)
+            return out
+        except Exception as e:
+            print(f'DVC_PTB_JAR tokenization failed ({e!r}); falling back '
+                  'to the python tokenizer', file=sys.stderr)
     return {k: [ptb_tokenize(c['caption']) for c in v]
             for k, v in caps.items()}
 

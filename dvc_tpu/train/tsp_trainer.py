@@ -67,6 +67,12 @@ def lr_multiplier_tree(params, backbone_lr: float, fc_lr: float,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 class TSPTrainer:
     def __init__(self, opt, mesh=None):
         self.opt = opt
@@ -77,6 +83,13 @@ class TSPTrainer:
             concat_gvf=bool(getattr(opt, 'global_video_features', None)))
         self.alphas = tuple(getattr(opt, 'loss_alphas', (1.0, 1.0)))
         self.train_bn = bool(getattr(opt, 'tsp_train_bn', 0))
+        # mixed precision: master weights/optimizer state stay f32; the
+        # model forward/backward (the FLOP-heavy backbone matmuls/convs)
+        # runs in bf16 with grads cast back to f32 at the param boundary.
+        # The loss itself is computed from f32-cast logits.
+        dt = str(getattr(opt, 'tsp_dtype', 'float32'))
+        self.dtype = jnp.bfloat16 if dt in ('bf16', 'bfloat16') \
+            else jnp.float32
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=getattr(opt, 'tpu_mesh_data', 1))
         # torch SGD semantics (reference train.py:276-277): g += wd * p,
@@ -87,6 +100,7 @@ class TSPTrainer:
             optax.trace(decay=getattr(opt, 'momentum', 0.9)),
             optax.scale(-1.0))
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        self._eval = jax.jit(self._eval_impl)
 
     def init_state(self, example_batch, seed=0):
         x = example_batch['clip']
@@ -102,19 +116,33 @@ class TSPTrainer:
                 'lr_mult': replicate_tree(lr_mult, self.mesh),
                 'step': 0}
 
+    def _model_inputs(self, variables, params, batch):
+        """Cast the compute path to self.dtype (no-op at f32): params and
+        clip/gvf run bf16, master params stay f32 (grad flows back through
+        the cast, arriving f32 at the optimizer)."""
+        v = dict(variables)
+        if self.dtype != jnp.float32:
+            v = _cast_floating(v, self.dtype)
+            params = _cast_floating(params, self.dtype)
+            batch = dict(batch,
+                         clip=batch['clip'].astype(self.dtype),
+                         **({'gvf': batch['gvf'].astype(self.dtype)}
+                            if 'gvf' in batch else {}))
+        v['params'] = params
+        return v, batch
+
     def _step_impl(self, variables, opt_state, lr_mult, batch, lr_scale):
         def loss_fn(params):
-            v = dict(variables)
-            v['params'] = params
+            v, b = self._model_inputs(variables, params, batch)
             if self.train_bn:
                 logits, mutated = self.model.apply(
-                    v, batch['clip'], gvf=batch.get('gvf'), train=True,
+                    v, b['clip'], gvf=b.get('gvf'), train=True,
                     mutable=['batch_stats'])
             else:
-                logits = self.model.apply(v, batch['clip'],
-                                          gvf=batch.get('gvf'))
+                logits = self.model.apply(v, b['clip'], gvf=b.get('gvf'))
                 mutated = {}
-            losses = [tsp_cross_entropy(lg, batch[f'label{i}'])
+            losses = [tsp_cross_entropy(lg.astype(jnp.float32),
+                                        batch[f'label{i}'])
                       for i, lg in enumerate(logits)]
             total = sum(a * l for a, l in zip(self.alphas, losses))
             return total, (losses, mutated)
@@ -129,12 +157,29 @@ class TSPTrainer:
         new_vars = dict(variables)
         new_vars['params'] = params
         if self.train_bn and 'batch_stats' in mutated:
-            new_vars['batch_stats'] = jax.lax.stop_gradient(
-                mutated['batch_stats'])
+            # keep running stats in f32 even when compute ran bf16
+            new_vars['batch_stats'] = _cast_floating(
+                jax.lax.stop_gradient(mutated['batch_stats']), jnp.float32)
         metrics = {'total': total}
         for i, l in enumerate(losses):
             metrics[f'head{i}'] = l
         return new_vars, opt_state, metrics
+
+    def _eval_impl(self, variables, batch):
+        """Forward + per-head CE for the validation loop (reference
+        train/train.py:89-117); returns f32 logits for host-side accuracy
+        meters."""
+        v, b = self._model_inputs(variables, variables['params'], batch)
+        logits = self.model.apply(v, b['clip'], gvf=b.get('gvf'))
+        logits = [lg.astype(jnp.float32) for lg in logits]
+        losses = [tsp_cross_entropy(lg, batch[f'label{i}'])
+                  for i, lg in enumerate(logits)]
+        total = sum(a * l for a, l in zip(self.alphas, losses))
+        return logits, losses, total
+
+    def eval_step(self, state, batch):
+        batch = shard_batch(batch, self.mesh)
+        return self._eval(state['variables'], batch)
 
     def train_step(self, state, batch, iteration):
         """lr per-iteration from WarmupMultiStepLR; base lrs are folded into
@@ -144,6 +189,9 @@ class TSPTrainer:
         sched = warmup_multistep_lr(
             1.0, iteration, milestones,
             gamma=getattr(opt, 'lr_gamma', 0.1),
+            # reference train.py:286 passes warmup_factor=1e-5 (the
+            # scheduler's own default of 1/3 is never used by the driver)
+            warmup_factor=getattr(opt, 'lr_warmup_factor', 1e-5),
             warmup_iters=getattr(opt, 'lr_warmup_iters', 5))
         batch = shard_batch(batch, self.mesh)
         variables, opt_state, metrics = self._step(

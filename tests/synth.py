@@ -10,14 +10,22 @@ WORDS = ['add', 'the', 'mix', 'stir', 'pan', 'oil', 'salt', 'cook', 'cut',
          'onion', 'bowl', 'water', 'heat', 'place', 'pot']
 
 
-def make_synth_dataset(root, n_videos=6, feat_dim=16, n_frames=40, seed=0):
+def make_synth_dataset(root, n_videos=6, feat_dim=16, n_frames=40, seed=0,
+                       n_words=None):
     """Writes features/, train.json, val.json, vocab.json under root.
-    Returns (anno_path, feature_folder, vocab_path, vocab_size)."""
+    Returns (anno_path, feature_folder, vocab_path, vocab_size).
+
+    ``n_words`` pads the vocabulary with synthetic words to a target size
+    (flagship-shape benchmarks need the real 1607-word projection)."""
     rng = np.random.default_rng(seed)
     feat_dir = os.path.join(root, 'features')
     os.makedirs(feat_dir, exist_ok=True)
 
-    vocab_words = sorted(set(WORDS)) + ['UNK']
+    vocab_words = sorted(set(WORDS))
+    if n_words and n_words - 1 > len(vocab_words):
+        vocab_words += [f'w{i:05d}' for i in range(n_words - 1
+                                                   - len(vocab_words))]
+    vocab_words = vocab_words + ['UNK']
     ix_to_word = {str(i + 1): w for i, w in enumerate(vocab_words)}
     word_to_ix = {w: i + 1 for i, w in enumerate(vocab_words)}
     vocab_path = os.path.join(root, 'vocab.json')

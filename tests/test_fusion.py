@@ -55,6 +55,28 @@ def test_fusion_eval_forward():
     assert out['seq'].shape == (2, 10, opt.max_caption_len)
 
 
+def test_fusion_bench_surface():
+    """bench.py's flagship path: make_fusion_trainer +
+    _synthetic_batch(with_sound=True) runs one train step (tiny shapes)."""
+    from __graft_entry__ import _flagship_opt, _synthetic_batch
+    from newTrain import make_fusion_trainer
+    opt = _flagship_opt(frame_embedding_num=32, hidden_dim=64, nheads=4,
+                        transformer_ff_dim=64, num_queries=8,
+                        input_encoding_size=32, rnn_size=64, att_hid_size=32,
+                        gt_proposal_sample_num=3, max_caption_len=8,
+                        feature_dim=32, vocab_size=50, cap_nheads=4,
+                        msda_impl='dense')
+    trainer = make_fusion_trainer(opt)
+    batch = _synthetic_batch(opt, B=2, with_sound=True)
+    assert batch['sound_tensor'].shape == (2, 32, 32)
+    state = trainer.init_state(batch)
+    state, losses = trainer.train_step(state, batch, lr=1e-4, ss_prob=0.0,
+                                       rng=jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses['total_loss']))
+    # sound branch params exist in the trained tree
+    assert 'sound_ca' in state['params']['params']
+
+
 def test_fusion_without_sound():
     """Audio-free batches run (zeros fallback path)."""
     opt = tiny_opt()

@@ -1,0 +1,93 @@
+"""Greedy argmax-tie divergence quantification (slow lane).
+
+PARITY.md documents that the fused greedy decode can diverge from the
+stepwise decode at argmax near-ties (different accumulation orders perturb
+logits at the ulp level).  This measures the actual token-divergence RATE
+at flagship-class head shapes (vocab 1607, rnn 512, Nq=100, 20 words)
+across many random checkpoints x queries: the stepwise scan vs the
+cross-step fused formulation vs the fused kernel in interpret mode (the
+kernel's arithmetic order, minus the MXU).  The companion
+``tools/measure_greedy_divergence.py`` runs the same comparison with the
+real Pallas kernel on TPU hardware against the host decode.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from dvc_tpu.models.caption_heads import CaptionHeadConfig, DSACaptionHead
+
+
+def flagship_head_cfg():
+    return CaptionHeadConfig(
+        vocab_size=1607, input_encoding_size=512, rnn_size=512,
+        num_layers=1, drop_prob=0.0, max_caption_len=20, hidden_dim=512,
+        att_hid_size=512, cap_nheads=8, cap_dec_n_points=4,
+        cap_num_feature_levels=4)
+
+
+def make_head_inputs(rng, cfg, B=1, Q=100, ts=(32, 16, 8, 4)):
+    d = cfg.hidden_dim
+    S = sum(ts)
+    L = len(ts)
+    query = jnp.asarray(rng.standard_normal((B, Q, d)).astype(np.float32))
+    ref_c = jnp.asarray(rng.uniform(0.1, 0.9, (B, Q, L)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.05, 0.2,
+                                    (B, Q, L)).astype(np.float32))
+    memory = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    pad_mask = jnp.zeros((B, S), bool)
+    return query, ref_c, scale, memory, ts, pad_mask
+
+
+def test_greedy_divergence_rate_under_bound():
+    """~1k random (checkpoint, query) pairs at flagship shapes: the three
+    decode formulations' token streams must agree on >99.9% of tokens
+    (the measured rate lands in PARITY.md)."""
+    cfg = flagship_head_cfg()
+    heads = {
+        'stepwise': DSACaptionHead(cfg, att_impl='ref', greedy_fuse=False),
+        'fused_ref': DSACaptionHead(cfg, att_impl='ref', greedy_fuse=True),
+        'fused_kernel': DSACaptionHead(cfg, att_impl='pallas_interpret',
+                                       greedy_fuse=True),
+    }
+    ts = (32, 16, 8, 4)
+
+    def make_fn(h):
+        @jax.jit
+        def f(p, query, ref_c, scale, memory, pad_mask):
+            return h.apply(p, query, ref_c, scale, memory, ts, pad_mask,
+                           deterministic=True, mode='sample')
+        return f
+
+    apply = {k: make_fn(h) for k, h in heads.items()}
+
+    n_seeds, Q = 10, 100
+    totals = {k: 0 for k in heads if k != 'stepwise'}
+    diverged = {k: 0 for k in totals}
+    seq_diverged = {k: 0 for k in totals}
+    for seed in range(n_seeds):
+        rng = np.random.default_rng(1000 + seed)
+        args = make_head_inputs(rng, cfg, Q=Q, ts=ts)
+        params = heads['stepwise'].init(
+            jax.random.PRNGKey(seed), *args, deterministic=True,
+            mode='sample')
+        dyn = args[:4] + (args[5],)
+        base_seq, _ = apply['stepwise'](params, *dyn)
+        base_seq = np.asarray(base_seq)
+        for k in totals:
+            seq, _ = apply[k](params, *dyn)
+            seq = np.asarray(seq)
+            assert seq.shape == base_seq.shape
+            totals[k] += base_seq.size
+            mism = seq != base_seq
+            diverged[k] += int(mism.sum())
+            seq_diverged[k] += int(mism.any(axis=1).sum())
+
+    for k in totals:
+        rate = diverged[k] / totals[k]
+        print(f'{k}: {diverged[k]}/{totals[k]} tokens diverged '
+              f'({rate:.2e}); {seq_diverged[k]} of {n_seeds * Q} '
+              'query sequences affected')
+        assert rate < 1e-3, (k, diverged[k], totals[k])

@@ -14,25 +14,122 @@ import pytest
 from dvc_tpu.eval import scorers as S
 
 
+# ---------------------------------------------------------------------------
+# Golden suite, group A: cases where ptb_tokenize MUST match the CoreNLP
+# PTBTokenizer pipeline (jar -preserveLines -lowerCase + the reference's
+# PUNCTUATIONS post-filter, ptbtokenizer.py:21-22,64-65).  Expected strings
+# follow the documented PTB tokenization rules (clitic splitting incl. the
+# ca/wo/sha n't stems, hyphenated compounds kept whole, decimal/thousands
+# numbers kept whole, symbol separation, punctuation dropped by the
+# post-filter).
+# ---------------------------------------------------------------------------
 @pytest.mark.parametrize('raw,expected', [
+    # clitics
     ("Don't add the salt.", "do n't add the salt"),
     ("It's a stir-fry dish!", "it 's a stir-fry dish"),
     ("I can't believe it", "i ca n't believe it"),
+    ("you won't need more", "you wo n't need more"),
+    ("we shan't bother", "we sha n't bother"),
     ("we'll cook; then serve", "we 'll cook then serve"),
     ("I'm ready, you're not", "i 'm ready you 're not"),
     ("they've cooked, he'd eaten", "they 've cooked he 'd eaten"),
-    ("Add 3.5 cups of water", "add 3.5 cups of water"),
-    ("add 1,000 ml", "add 1,000 ml"),
-    ("mix (gently) the dough", "mix gently the dough"),
+    ("that's how she's done it", "that 's how she 's done it"),
+    ("the chef's knife", "the chef 's knife"),
+    ("DOESN'T MATTER", "does n't matter"),
+    # possessive-plural apostrophe becomes a bare ' and is filtered
     ("the cats' toys", "the cats toys"),
     ("heat at 5 o'clock", "heat at 5 o'clock"),
-    ('she said "hello" loudly', "she said hello loudly"),
+    # numbers
+    ("Add 3.5 cups of water", "add 3.5 cups of water"),
+    ("add 1,000 ml", "add 1,000 ml"),
+    ("bake for 5-6 minutes", "bake for 5-6 minutes"),
+    ("heat to 350 degrees", "heat to 350 degrees"),
+    # symbols kept as their own tokens (not in the PUNCTUATIONS filter)
+    ("mix 50% flour", "mix 50 % flour"),
+    ("it costs $5", "it costs $ 5"),
+    ("salt & pepper", "salt & pepper"),
+    ("use salt + sugar", "use salt + sugar"),
+    ("rate it 5*", "rate it 5 *"),
+    ("a=b here", "a = b here"),
+    # hyphenated compounds stay whole
     ("pre-heat the oven to 350", "pre-heat the oven to 350"),
+    ("a twenty-one year-old recipe", "a twenty-one year-old recipe"),
     ("slice the state-of-the-art -- carefully...",
      "slice the state-of-the-art carefully"),
+    # sentence punctuation dropped by the post-filter
+    ("boil, then simmer: done.", "boil then simmer done"),
+    ("really?! yes.", "really yes"),
+    ("wait ... now", "wait now"),
+    # quotes normalize to ``/'' (symbols unaffected by -lowerCase) and are
+    # filtered
+    ('she said "hello" loudly', "she said hello loudly"),
+    ("add the 'secret' sauce", "add the secret sauce"),
+    # whitespace / empty
+    ("   spaced    out   ", "spaced out"),
+    ("", ""),
+    ("...", ""),
 ])
-def test_ptb_tokenize_cases(raw, expected):
+def test_ptb_tokenize_matches_corenlp(raw, expected):
     assert S.ptb_tokenize(raw) == expected
+
+
+# ---------------------------------------------------------------------------
+# Golden suite, group B: ENUMERATED divergences from the CoreNLP jar
+# pipeline.  Each entry pins our current output AND records what the jar
+# pipeline would produce, so the approximation's gaps are a closed list
+# rather than unknowns (none of these token shapes appears in
+# model-generated captions drawn from the YC2/ANet vocabularies, which is
+# why they are tolerated; DVC_PTB_JAR switches to the jar when exactness
+# matters).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize('raw,ours,corenlp', [
+    # abbreviation periods stay attached in CoreNLP, we split+drop them
+    ("mr. smith cooks", "mr smith cooks", "mr. smith cooks"),
+    ("preheat, etc. as usual", "preheat etc as usual",
+     "preheat etc. as usual"),
+    ("u.s. style bbq", "u s style bbq", "u.s. style bbq"),
+    ("serve at 9 a.m. sharp", "serve at 9 a m sharp",
+     "serve at 9 a.m. sharp"),
+    # PTB contraction rewrites we don't apply
+    ("you cannot stir", "you cannot stir", "you can not stir"),
+    ("gonna cook now", "gonna cook now", "gon na cook now"),
+    ("wanna taste it", "wanna taste it", "wan na taste it"),
+    # colon-joined times / slash fractions: CoreNLP keeps one token
+    ("cook until 1:30", "cook until 1 30", "cook until 1:30"),
+    ("add 2 1/2 cups", "add 2 1 / 2 cups", "add 2 1/2 cups"),
+    # non-ASCII letters: CoreNLP keeps the word whole
+    ("café au lait", "caf é au lait", "café au lait"),
+    # brackets: CoreNLP -lowerCase emits -lrb-/-rrb- which the reference's
+    # case-sensitive PUNCTUATIONS filter does NOT drop; we drop the
+    # brackets entirely (deliberate: no -lrb- noise tokens in captions)
+    ("mix (gently) the dough", "mix gently the dough",
+     "mix -lrb- gently -rrb- the dough"),
+])
+def test_ptb_tokenize_known_divergences(raw, ours, corenlp):
+    got = S.ptb_tokenize(raw)
+    assert got == ours, f'pinned approximation changed for {raw!r}'
+    assert got != corenlp  # else: move the case to the parity group
+
+
+def test_ptb_jar_postfilter_and_dispatch(tmp_path, monkeypatch):
+    """DVC_PTB_JAR mode: the reference's PUNCTUATIONS post-filter applies
+    to the jar's token stream verbatim (ptbtokenizer.py:64-65), and
+    tokenize_dict falls back to the python tokenizer with a note when the
+    jar invocation fails (no java on this box)."""
+    lines = ["do n't add the salt .",
+             "it 's a -LRB- small -RRB- dish ...",
+             "plain"]
+    assert S._ptb_filter_jar_lines(lines) == [
+        "do n't add the salt", "it 's a small dish", "plain"]
+    # dispatch: a jar path that exists but cannot run -> python fallback
+    fake = tmp_path / 'stanford-corenlp-3.4.1.jar'
+    fake.write_bytes(b'not a jar')
+    monkeypatch.setenv('DVC_PTB_JAR', str(fake))
+    out = S.tokenize_dict({'v1': [{'caption': "Don't stop."}]})
+    assert out == {'v1': ["do n't stop"]}
+    monkeypatch.delenv('DVC_PTB_JAR')
+    out2 = S.tokenize_dict({'v1': [{'caption': "Don't stop."}]})
+    assert out2 == out
 
 
 def test_meteor_paraphrase_table_raises_score(tmp_path, monkeypatch):

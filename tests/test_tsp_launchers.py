@@ -82,12 +82,62 @@ def test_train_tsp_driver_from_launcher_args(tmp_path, two_heads):
                    ['--loss-alphas'] + alphas +
                    ['--backbone', 'r3d_18',
                     '--clip-len', '4',
+                    '--clips-per-segment', '1',
                     '--batch-size', '2',
                     '--epochs', '1',
                     '--backbone-lr', '0.0001',
                     '--fc-lr', '0.002',
                     '--output-dir', str(out)])
     assert (out / 'tsp-last.ckpt').exists()
+
+
+def test_train_tsp_val_best_ckpt_and_resume(tmp_path):
+    """The reference regime end to end (train/train.py:89-117,329-335):
+    jittered clips-per-segment training, per-epoch validation with
+    accuracy meters, val-driven best checkpoint, then mid-run resume."""
+    import json as _json
+    import pickle
+    vid_dir = tmp_path / 'videos'
+    vid_dir.mkdir()
+    vids = []
+    for i in range(2):
+        p = vid_dir / f'v_tsp{i:07d}.mp4'
+        _write_video(p)
+        vids.append(str(p))
+    gt = tmp_path / 'gt.csv'
+    _write_gt_csv(gt, vids)
+    out = tmp_path / 'out'
+
+    common = ['--train-csv', str(gt), '--valid-csv', str(gt),
+              '--backbone', 'r3d_18', '--clip-len', '4',
+              '--clips-per-segment', '2', '--batch-size', '2',
+              '--backbone-lr', '0.0001', '--fc-lr', '0.002',
+              '--output-dir', str(out)]
+    _run_train_tsp(common + ['--epochs', '1'])
+    assert (out / 'tsp-last.ckpt').exists()
+    assert (out / 'tsp-best.ckpt').exists()   # val ran, best selected
+    results = (out / 'results.txt').read_text()
+    assert 'Valid Epoch 0' in results and 'Avg Accuracy' in results
+    recs = [_json.loads(l) for l in
+            (out / 'metrics.jsonl').read_text().splitlines()]
+    assert 'valid_avg_accuracy' in recs[-1]
+    with open(out / 'tsp-last.ckpt', 'rb') as f:
+        ck = pickle.load(f)
+    assert ck['epoch'] == 0 and ck['iteration'] > 0
+    assert 'opt_state' in ck
+
+    # resume continues into epoch 1 with the saved optimizer state
+    _run_train_tsp(common + ['--epochs', '2', '--resume',
+                             str(out / 'tsp-last.ckpt')])
+    with open(out / 'tsp-last.ckpt', 'rb') as f:
+        ck2 = pickle.load(f)
+    assert ck2['epoch'] == 1
+    assert ck2['iteration'] > ck['iteration']
+    assert 'Valid Epoch 1' in (out / 'results.txt').read_text()
+
+    # --valid-only evaluates without training (reference train.py:338-343)
+    _run_train_tsp(common + ['--epochs', '2', '--valid-only',
+                             '--resume', str(out / 'tsp-last.ckpt')])
 
 
 def test_launcher_shells_present_and_valid():

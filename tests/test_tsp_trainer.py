@@ -115,6 +115,46 @@ def test_sgd_weight_decay_matches_torch():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_tsp_bf16_mixed_precision_parity():
+    """--dtype bfloat16: same-seed first-step loss tracks the f32 path
+    within bf16 tolerance; master weights and optimizer state stay f32
+    across steps (mixed precision, not a weight cast)."""
+    rng = np.random.default_rng(3)
+    batch = {
+        'clip': jnp.asarray(rng.standard_normal(
+            (4, 4, 32, 32, 3)).astype(np.float32)),
+        'label0': jnp.asarray([1, -1, 2, 0]),
+        'label1': jnp.asarray([0, 1, 1, 0]),
+    }
+
+    def run(dtype):
+        opt = load_config(backbone_tsp='r3d_18', tsp_num_classes=(3, 2),
+                          tsp_num_heads=2, loss_alphas=[1.0, 0.5],
+                          backbone_lr=1e-4, fc_lr=1e-3, tsp_dtype=dtype)
+        trainer = TSPTrainer(opt)
+        state = trainer.init_state(batch, seed=0)
+        metrics = None
+        for it in range(2):
+            state, metrics = trainer.train_step(state, batch, iteration=it)
+        return trainer, state, float(metrics['total'])
+
+    _, state32, l32 = run('float32')
+    trainer16, state16, l16 = run('bfloat16')
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.03
+    # master weights + momentum stay f32
+    for leaf in jax.tree_util.tree_leaves(state16['variables']['params']):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state16['opt_state']):
+        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            assert leaf.dtype == jnp.float32
+    # eval path also runs under bf16 and returns f32 logits
+    logits, losses, total = trainer16.eval_step(state16, batch)
+    assert all(lg.dtype == jnp.float32 for lg in logits)
+    assert np.isfinite(float(total))
+
+
 @pytest.mark.heavy
 def test_tsp_train_bn_updates_stats_and_syncs():
     """tsp_train_bn updates the BN running stats; the global-batch

@@ -84,6 +84,98 @@ def test_clip_batcher(video):
     assert total == len(clips)
 
 
+def test_load_segment_table(tmp_path):
+    """Reference untrimmed_video_dataset.py:104-132: clamp to
+    [0, video-duration], drop sub-clip-length segments, map labels,
+    missing label -> -1."""
+    import csv as _csv
+    p = tmp_path / 'gt.csv'
+    with open(p, 'w', newline='') as f:
+        w = _csv.DictWriter(f, fieldnames=[
+            'filename', 'fps', 't-start', 't-end', 'video-duration',
+            'action-label', 'temporal-region-label'])
+        w.writeheader()
+        w.writerow({'filename': 'a.mp4', 'fps': 30, 't-start': -2.0,
+                    't-end': 99.0, 'video-duration': 10.0,
+                    'action-label': 'grilled cheese',
+                    'temporal-region-label': 'Action'})
+        w.writerow({'filename': 'a.mp4', 'fps': 30, 't-start': 4.0,
+                    't-end': 4.5, 'video-duration': 10.0,   # too short
+                    'action-label': 'pizza',
+                    'temporal-region-label': 'Action'})
+        w.writerow({'filename': 'b.mp4', 'fps': 30, 't-start': 0.0,
+                    't-end': 9.0, 'video-duration': 10.0,
+                    'action-label': '',                      # background
+                    'temporal-region-label': 'No action'})
+    from dvc_tpu.data.video_clips import load_segment_table
+    mappings = [{'grilled cheese': 0, 'pizza': 1},
+                {'Action': 1, 'No action': 0}]
+    segs = load_segment_table(str(p),
+                              ['action-label', 'temporal-region-label'],
+                              clip_len=16, frame_rate=15, root_dir='/vids',
+                              label_mappings=mappings)
+    assert len(segs) == 2                      # short segment dropped
+    assert segs[0].t_start == 0.0 and segs[0].t_end == 10.0   # clamped
+    assert segs[0].labels == (0, 1)
+    assert segs[0].filename == '/vids/a.mp4'
+    assert segs[1].labels == (-1, 0)           # missing action -> ignore
+
+
+def test_segment_clip_sampler_distribution():
+    """Pins the clip-sampling regime (reference
+    untrimmed_video_dataset.py:66-78): uniform grid without jittering,
+    U(0,1) in-segment ratio with it; an epoch visits every segment
+    clips_per_segment times."""
+    from dvc_tpu.data.video_clips import Segment, SegmentClipSampler
+    segs = [Segment('a.mp4', 30, 10.0, 20.0, (0, 1)),
+            Segment('b.mp4', 30, 5.0, 8.0, (1, 1))]
+    clip_sec = 16 / 15.0
+    # uniform grid (validation): ratio = linspace(0,1,3)[idx // n_segs]
+    s = SegmentClipSampler(segs, 16, 15, clips_per_segment=3,
+                           temporal_jittering=False)
+    assert len(s) == 6
+    got = [s.clip_at(i) for i in range(6)]
+    assert [g[0].filename for g in got] == ['a.mp4', 'b.mp4'] * 3
+    spans = {'a.mp4': (10.0, 20.0 - 10.0 - clip_sec),
+             'b.mp4': (5.0, 8.0 - 5.0 - clip_sec)}
+    for k, (seg, t) in enumerate(got):
+        t0, span = spans[seg.filename]
+        assert t == pytest.approx(t0 + (k // 2) * 0.5 * span)
+    # jittered (training): ratio ~ U(0,1), reproducible from the seed
+    sj = SegmentClipSampler(segs, 16, 15, clips_per_segment=3,
+                            temporal_jittering=True, seed=42)
+    ratios = []
+    for rep in range(400):
+        for i in range(len(sj)):
+            seg, t = sj.clip_at(i)
+            t0, span = spans[seg.filename]
+            ratios.append((t - t0) / span)
+    ratios = np.asarray(ratios)
+    assert ratios.min() >= 0 and ratios.max() <= 1
+    assert abs(ratios.mean() - 0.5) < 0.02
+    assert abs(ratios.std() - (1 / 12) ** 0.5) < 0.02
+    # same seed -> same stream (the reference's np.random.RandomState(42))
+    sj2 = SegmentClipSampler(segs, 16, 15, clips_per_segment=3,
+                             temporal_jittering=True, seed=42)
+    assert sj2.clip_at(0)[1] == SegmentClipSampler(
+        segs, 16, 15, 3, True, 42).clip_at(0)[1]
+
+
+def test_decode_clip_random_crop(video):
+    """crop_offset selects the window (RandomCrop support)."""
+    path, fps, n = video
+    a = decode_clip(path, 0.0, 4, 15, resize=(40, 48), crop=(32, 32),
+                    crop_offset=(0, 0))
+    b = decode_clip(path, 0.0, 4, 15, resize=(40, 48), crop=(32, 32),
+                    crop_offset=(8, 16))
+    c = decode_clip(path, 0.0, 4, 15, resize=(40, 48), crop=(32, 32))
+    assert a.shape == b.shape == c.shape == (4, 32, 32, 3)
+    # center crop equals the explicit center offset
+    d = decode_clip(path, 0.0, 4, 15, resize=(40, 48), crop=(32, 32),
+                    crop_offset=((40 - 32) // 2, (48 - 32) // 2))
+    np.testing.assert_array_equal(c, d)
+
+
 def test_make_tsp_groundtruth_tool(video, tmp_path):
     import json as _json
     import subprocess
@@ -98,20 +190,35 @@ def test_make_tsp_groundtruth_tool(video, tmp_path):
         _json.dump(anno, f)
     out = tmp_path / 'gt.csv'
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # default (segments mode): one foreground row per annotated event
     r = subprocess.run(
         [_sys.executable, os.path.join(root, 'tools',
                                        'make_tsp_groundtruth.py'),
-         '--anno', str(ap), '--video-dir', vid_dir, '--out', str(out),
-         '--clip-len', '16', '--stride', '16'],
+         '--anno', str(ap), '--video-dir', vid_dir, '--out', str(out)],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     import csv as _csv
     with open(out) as f:
         rows = list(_csv.DictReader(f))
     assert rows
-    assert rows[0]['temporal-region-label'] == '1'  # first clip in the event
-    # the produced csv feeds train_tsp.load_clip_rows
+    assert rows[0]['temporal-region-label'] == '1'
+    assert float(rows[0]['t-end']) == pytest.approx(1.2)
+    # the produced csv feeds the segment loader (the training regime)
+    from dvc_tpu.data.video_clips import load_segment_table
+    segs = load_segment_table(str(out),
+                              ['action-label', 'temporal-region-label'],
+                              clip_len=16, frame_rate=15)
+    assert segs and segs[0].labels == (0, 1)
+    # legacy clips mode still feeds train_tsp.load_clip_rows
+    out2 = tmp_path / 'gt_clips.csv'
+    r = subprocess.run(
+        [_sys.executable, os.path.join(root, 'tools',
+                                       'make_tsp_groundtruth.py'),
+         '--anno', str(ap), '--video-dir', vid_dir, '--out', str(out2),
+         '--mode', 'clips', '--clip-len', '16', '--stride', '16'],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
     from train_tsp import load_clip_rows
-    clips = load_clip_rows(str(out),
+    clips = load_clip_rows(str(out2),
                            ['action-label', 'temporal-region-label'])
     assert clips[0]['labels'] == [0, 1]

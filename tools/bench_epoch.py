@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Sustained END-TO-END epoch throughput through the real ``train.py``.
+
+The headline ``bench.py`` number is a compiled-step rate on a pre-staged
+device batch; this tool measures what a user actually gets: wall-clock
+epochs through the full driver — feature files read from disk (native C++
+assembler when available), collate, host->device prefetch, the jitted
+train step, per-epoch eval + checkpointing — at flagship shapes
+(768-d features, T=200, vocab 1607, LSTM-DSA head) on synthetic data.
+
+    python tools/bench_epoch.py                # flagship, batch 16
+    python tools/bench_epoch.py --n-videos 128 --epochs 3
+
+Prints one JSON line: sustained videos/s for the steady-state epoch (the
+first epoch pays compilation), the train-only videos/s, the eval +
+checkpoint overhead, and the ratio to a given ``--step-rate`` (the
+bench.py compiled-step reading) when provided.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--n-videos', type=int, default=256)
+    p.add_argument('--val-videos', type=int, default=32)
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--epochs', type=int, default=3)
+    p.add_argument('--feat-dim', type=int, default=768)
+    p.add_argument('--frames', type=int, default=230,
+                   help='raw feature frames per video (resampled to '
+                        'frame_embedding_num=200 by the loader)')
+    p.add_argument('--vocab', type=int, default=1607)
+    p.add_argument('--workdir', type=str, default=None)
+    p.add_argument('--step-rate', type=float, default=None,
+                   help='bench.py videos/s to compare against')
+    p.add_argument('--skip-eval', action='store_true',
+                   help='epoch loop only (no eval/ckpt) for isolation')
+    p.add_argument('--out', type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    workdir = args.workdir or tempfile.mkdtemp(prefix='dvc_epoch_bench_')
+    os.makedirs(workdir, exist_ok=True)
+
+    from synth import make_synth_dataset
+    t0 = time.time()
+    # one pool of videos; the last --val-videos become the val split
+    anno, feat_dir, vocab_path, vocab_size = make_synth_dataset(
+        workdir, n_videos=args.n_videos + args.val_videos,
+        feat_dim=args.feat_dim, n_frames=args.frames, n_words=args.vocab)
+    import json as _json
+    with open(anno) as f:
+        all_anno = _json.load(f)
+    keys = sorted(all_anno)
+    train_keys, val_keys = keys[:args.n_videos], keys[args.n_videos:]
+    with open(anno, 'w') as f:
+        _json.dump({k: all_anno[k] for k in train_keys}, f)
+    val_anno = os.path.join(workdir, 'val.json')
+    with open(val_anno, 'w') as f:
+        _json.dump({k: all_anno[k] for k in val_keys}, f)
+    para_path = os.path.join(workdir, 'para.json')
+    with open(para_path, 'w') as f:
+        _json.dump({k: '. '.join(all_anno[k]['sentences'])
+                    for k in val_keys}, f)
+    gen_s = time.time() - t0
+
+    save_dir = os.path.join(workdir, 'save')
+    cfg = {
+        'id': 'epoch_bench', 'seed': 0,
+        'train_caption_file': anno, 'val_caption_file': val_anno,
+        'visual_feature_folder': [feat_dir],
+        'gt_file_for_eval': [val_anno],
+        'gt_file_for_para_eval': [para_path],
+        'dict_file': vocab_path, 'vocab_size': vocab_size,
+        'visual_feature_type': ['tsp_mvit'],
+        'feature_dim': args.feat_dim, 'frame_embedding_num': 200,
+        'num_queries': 100, 'max_eseq_length': 20, 'max_caption_len': 20,
+        'caption_decoder_type': 'standard',
+        'enc_layers': 3, 'dec_layers': 3, 'hidden_dim': 512,
+        'batch_size': args.batch, 'batch_size_for_eval': args.batch,
+        'epoch': args.epochs, 'lr': 5e-5, 'optimizer_type': 'adamw',
+        'save_dir': save_dir, 'invalid_video_json': [],
+        'save_checkpoint_every': 1000 if args.skip_eval else 1,
+        'min_epoch_when_save': -1,
+        'eval_tool_version': '2018',
+    }
+    cfg_path = os.path.join(workdir, 'epoch_bench.yml')
+    import yaml
+    with open(cfg_path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+
+    import runpy
+    old_argv = sys.argv
+    t1 = time.time()
+    try:
+        sys.argv = ['train.py', '--cfg_path', cfg_path]
+        runpy.run_path(os.path.join(REPO, 'train.py'), run_name='__main__')
+    finally:
+        sys.argv = old_argv
+    wall_s = time.time() - t1
+
+    # the driver logs per-epoch wall + videos/s into metrics.jsonl and
+    # train.log; read the structured stream
+    run_dir = os.path.join(save_dir, 'epoch_bench')
+    recs = []
+    with open(os.path.join(run_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            recs.append(json.loads(line))
+    vps = [r['value'] for r in recs if r['tag'] == 'videos_per_sec']
+    # per-epoch train-loop wall from the logged rate
+    n_steps = args.n_videos // args.batch
+    epoch_train_s = [n_steps * args.batch / v for v in vps]
+    # eval+ckpt overhead: total wall minus the train loops minus startup —
+    # derive steady-state epoch wall from the log timestamps instead
+    log = open(os.path.join(run_dir, 'train.log')).read()
+    stamps = {}
+    for m in re.finditer(r'\[(\d+-\d+-\d+ \d+:\d+:\d+)\].*epoch (\d+) lr',
+                         log):
+        stamps[int(m.group(2))] = m.group(1)
+    rec = {
+        'metric': 'end_to_end_epoch_throughput',
+        'n_videos': args.n_videos, 'batch': args.batch,
+        'epochs': args.epochs,
+        'dataset_gen_s': round(gen_s, 1),
+        'total_wall_s': round(wall_s, 1),
+        'train_videos_per_sec_by_epoch': [round(v, 2) for v in vps],
+        'train_loop_s_by_epoch': [round(s, 2) for s in epoch_train_s],
+        'steady_state_train_videos_per_sec':
+            round(max(vps[1:] or vps), 2),
+    }
+    if not args.skip_eval and len(vps) >= 2:
+        # steady-state epoch = train loop + eval + ckpt; approximate the
+        # non-train share from total wall after the compile-heavy first
+        # epoch: (wall - epoch0_total) / (epochs-1) - train_loop
+        per_epoch_tail = None
+        try:
+            import datetime as dt
+            ts = sorted(stamps.items())
+            if len(ts) >= 3:
+                t_fmt = '%Y-%m-%d %H:%M:%S'
+                d = (dt.datetime.strptime(ts[-1][1], t_fmt)
+                     - dt.datetime.strptime(ts[-2][1], t_fmt)).total_seconds()
+                per_epoch_tail = d - epoch_train_s[-1]
+        except Exception:
+            per_epoch_tail = None
+        if per_epoch_tail is not None:
+            rec['steady_epoch_wall_s'] = round(
+                per_epoch_tail + epoch_train_s[-1], 2)
+            rec['eval_ckpt_overhead_s'] = round(per_epoch_tail, 2)
+            rec['sustained_videos_per_sec_incl_eval'] = round(
+                args.n_videos / rec['steady_epoch_wall_s'], 2)
+    if args.step_rate:
+        rec['compiled_step_videos_per_sec'] = args.step_rate
+        rec['pipeline_efficiency'] = round(
+            rec['steady_state_train_videos_per_sec'] / args.step_rate, 4)
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(rec, f, indent=1)
+    return rec
+
+
+if __name__ == '__main__':
+    main()
