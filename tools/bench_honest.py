@@ -132,11 +132,12 @@ def bench_post(trainer, batch, B, n1, n2):
 
 
 def bench_tsp_train(B, n1, n2, backbone='mvit_v2_s', clip_len=16,
-                    size=None):
+                    size=None, dtype='float32'):
     """TSP pretraining step (backbone fwd+bwd + two CE heads + per-group
     SGD) — the reference's only multi-GPU path (TSP/train/train.py).
-    Same in-graph fori protocol as the PDVC step benches.  f32 params
-    (the trainer's regime; bf16 is an extraction-path option)."""
+    Same in-graph fori protocol as the PDVC step benches.  f32 master
+    params always; dtype='bfloat16' runs the backbone compute in bf16
+    (train_tsp.py --dtype bfloat16)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -147,7 +148,7 @@ def bench_tsp_train(B, n1, n2, backbone='mvit_v2_s', clip_len=16,
                     else 224)
     opt = load_config(backbone_tsp=backbone, tsp_num_classes=(2, 2),
                       tsp_num_heads=2, loss_alphas=[1.0, 1.0],
-                      backbone_lr=1e-4, fc_lr=1e-3)
+                      backbone_lr=1e-4, fc_lr=1e-3, tsp_dtype=dtype)
     trainer = TSPTrainer(opt)
     rng = np.random.default_rng(0)
     batch = {
@@ -175,7 +176,7 @@ def bench_tsp_train(B, n1, n2, backbone='mvit_v2_s', clip_len=16,
 
     ms, _ = _pair(make_prog, n1, n2, state['variables'],
                   state['opt_state'])
-    key = f'tsp_train_{backbone}'
+    key = f'tsp_train_{backbone}' + ('_bf16' if dtype != 'float32' else '')
     out = {f'{key}_step_ms': round(ms, 2),
            f'{key}_clips_per_sec': round(B / ms * 1e3, 1),
            f'{key}_ms_per_clip': round(ms / B, 3)}
@@ -509,10 +510,13 @@ def main():
         print(json.dumps(results))
         whats.remove('matcher')
     for w in [w for w in whats if w.startswith('tsp')]:
-        # 'tsp' (mvit default) or 'tsp:<backbone>', e.g. tsp:r2plus1d_34
-        backbone = w.partition(':')[2] or 'mvit_v2_s'
+        # 'tsp' (mvit default), 'tsp:<backbone>', or 'tsp:<backbone>:bf16'
+        # e.g. tsp:r2plus1d_34, tsp:mvit_v2_s:bf16
+        parts = w.split(':')
+        backbone = parts[1] if len(parts) > 1 and parts[1] else 'mvit_v2_s'
+        dtype = 'bfloat16' if 'bf16' in parts[2:] else 'float32'
         results.update(bench_tsp_train(args.batch, args.n1, args.n2,
-                                       backbone=backbone))
+                                       backbone=backbone, dtype=dtype))
         print(json.dumps(results))
         whats.remove(w)
     if whats:

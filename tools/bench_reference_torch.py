@@ -178,7 +178,7 @@ def bench_jax(opt, batch, iters):
     dt_s = (time.perf_counter() - t0) / iters
     v = float(losses['total_loss'])
     assert v == v, 'non-finite jax loss'
-    return dt_s
+    return dt_s, v
 
 
 def main():
@@ -203,7 +203,7 @@ def main():
                  'B=1 is the reference\'s own batch size'),
     }
     if not a.skip_jax:
-        jax_s = bench_jax(opt, batch, a.iters)
+        jax_s, _ = bench_jax(opt, batch, a.iters)
         rec['jax_cpu_step_s'] = round(jax_s, 4)
         rec['jax_cpu_videos_per_s'] = round(1.0 / jax_s, 3)
         rec['jax_over_torch_same_cpu'] = round(torch_s / jax_s, 3)
