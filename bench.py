@@ -73,6 +73,9 @@ def main():
 
     if model_kind == 'fusion':
         from newTrain import make_fusion_trainer
+        fd = os.environ.get('BENCH_FUSION_DTYPE')
+        if fd:
+            opt.fusion_dtype = fd
         trainer = make_fusion_trainer(opt)
     else:
         trainer = Trainer(opt)

@@ -19,27 +19,36 @@ accidental behavior.
 from __future__ import annotations
 
 import flax.linen as nn
-
+import jax.numpy as jnp
 
 from .pdvc import PDVC, PDVCConfig
 
 
 class AttentionBlock(nn.Module):
     """MHA + LayerNorm residual + (Linear+LayerNorm) residual
-    (reference NewModel.py:41-65)."""
+    (reference NewModel.py:41-65).
+
+    ``dtype='bfloat16'`` runs the projections/attention in bf16 (f32
+    params, f32 LayerNorms and residual adds) — the matmuls here are
+    f32-MXU-bound at flagship shapes, and the inputs are backbone
+    features the extraction path already handles in bf16."""
     dim: int = 768
     num_heads: int = 32
+    dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, query, kv):
+        dt = jnp.bfloat16 if self.dtype == 'bfloat16' else jnp.float32
         add = kv
         x = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, name='mha')(query, kv, kv,
-                                                  deterministic=True)
-        x = nn.LayerNorm(name='ln')(x)
+            num_heads=self.num_heads, dtype=dt,
+            name='mha')(query, kv, kv, deterministic=True)
+        x = nn.LayerNorm(name='ln')(x.astype(jnp.float32))
         x = x + add
         add = x
-        x = nn.LayerNorm(name='mlp_ln')(nn.Dense(self.dim, name='mlp_fc')(x))
+        x = nn.LayerNorm(name='mlp_ln')(
+            nn.Dense(self.dim, dtype=dt,
+                     name='mlp_fc')(x).astype(jnp.float32))
         return x + add
 
 
@@ -48,12 +57,17 @@ class FusionPDVC(nn.Module):
     cfg: PDVCConfig
     fusion_dim: int = 768
     fusion_heads: int = 32
+    fusion_dtype: str = 'float32'
 
     def setup(self):
         self.visual_block = AttentionBlock(self.fusion_dim,
-                                           self.fusion_heads, name='visual_sa')
+                                           self.fusion_heads,
+                                           self.fusion_dtype,
+                                           name='visual_sa')
         self.sound_block = AttentionBlock(self.fusion_dim,
-                                          self.fusion_heads, name='sound_ca')
+                                          self.fusion_heads,
+                                          self.fusion_dtype,
+                                          name='sound_ca')
         self.pdvc = PDVC(self.cfg, name='pdvc')
 
     def __call__(self, batch, eval_mode=False, ss_prob=0.0,

@@ -130,7 +130,8 @@ class Trainer:
         from ..models.fusion import FusionPDVC
         if isinstance(self.model, FusionPDVC):
             return FusionPDVC(cfg2, fusion_dim=self.model.fusion_dim,
-                              fusion_heads=self.model.fusion_heads)
+                              fusion_heads=self.model.fusion_heads,
+                              fusion_dtype=self.model.fusion_dtype)
         if isinstance(self.model, PDVC):
             return PDVC(cfg2)
         return self.model

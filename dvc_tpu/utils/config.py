@@ -221,6 +221,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help='size of the data-parallel mesh axis (pjit)')
     add('--tpu_compute_dtype', type=str, default='float32',
         choices=['float32', 'bfloat16'])
+    add('--fusion_dtype', type=str, default='float32',
+        choices=['float32', 'bfloat16'],
+        help='compute dtype of the FusionPDVC attention blocks (f32 '
+             'params/LayerNorms either way); the blocks are '
+             'f32-MXU-bound at flagship shapes — see BENCHMARKS.md')
     add('--tpu_prng', type=str, default='rbg',
         choices=['threefry', 'rbg'],
         help='PRNG impl for the per-step training stream (dropout + '

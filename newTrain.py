@@ -27,7 +27,8 @@ def make_fusion_trainer(opt, mesh=None):
     heads = int(getattr(opt, 'fusion_heads', 32) or 32)
     while opt.feature_dim % heads:   # keep the 32-head default divisible
         heads //= 2
-    model = FusionPDVC(cfg, fusion_dim=opt.feature_dim, fusion_heads=heads)
+    model = FusionPDVC(cfg, fusion_dim=opt.feature_dim, fusion_heads=heads,
+                       fusion_dtype=getattr(opt, 'fusion_dtype', 'float32'))
     return Trainer(opt, mesh=mesh, model=model)
 
 

@@ -77,6 +77,34 @@ def test_fusion_bench_surface():
     assert 'sound_ca' in state['params']['params']
 
 
+def test_fusion_block_bf16_parity():
+    """fusion_dtype='bfloat16' keeps f32 params and tracks the f32 loss
+    within bf16 tolerance (the blocks are a perf knob, not a different
+    model)."""
+    opt = tiny_opt()
+    cfg = PDVCConfig.from_opt(opt)
+    rng = np.random.default_rng(7)
+    batch = make_fusion_batch(rng)
+    wd = build_weight_dict(opt)
+
+    def run(dtype):
+        model = FusionPDVC(cfg, fusion_dim=16, fusion_heads=4,
+                           fusion_dtype=dtype)
+        params = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                            eval_mode=False, deterministic=True)
+        _, losses = model.apply(params, batch, eval_mode=False,
+                                deterministic=True)
+        return params, sum(float(losses[k]) * v for k, v in wd.items()
+                           if k in losses)
+
+    p32, l32 = run('float32')
+    p16, l16 = run('bfloat16')
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.02
+    for a, b in zip(jax.tree_util.tree_leaves(p16),
+                    jax.tree_util.tree_leaves(p32)):
+        assert a.dtype == b.dtype == jnp.float32
+
+
 def test_fusion_without_sound():
     """Audio-free batches run (zeros fallback path)."""
     opt = tiny_opt()
