@@ -83,7 +83,10 @@ def test_greedy_divergence_rate_under_bound():
             totals[k] += base_seq.size
             mism = seq != base_seq
             diverged[k] += int(mism.sum())
-            seq_diverged[k] += int(mism.any(axis=1).sum())
+            # output is (B, Q, K): reduce over the token axis to count
+            # affected query sequences
+            assert base_seq.shape[-1] == cfg.max_caption_len
+            seq_diverged[k] += int(np.any(mism, axis=-1).sum())
 
     for k in totals:
         rate = diverged[k] / totals[k]

@@ -49,8 +49,37 @@ def parse_args(argv=None):
     p.add_argument('--tiny', action='store_true',
                    help='shrink the model to CPU-smoke shapes (harness '
                         'validation, not a benchmark)')
+    p.add_argument('--streaming', action='store_true',
+                   help='streaming mode: synthesize raw videos and train '
+                        'through --streaming_features (clip decode + TSP '
+                        'backbone at load time) instead of .npy features')
+    p.add_argument('--video-frames', type=int, default=96,
+                   help='streaming mode: raw frames per synthetic video')
     p.add_argument('--out', type=str, default=None)
     return p.parse_args(argv)
+
+
+def _write_videos(feat_dir, anno_path, workdir, n_frames):
+    """Replace the .npy features with synthetic raw videos matching the
+    annotation keys (streaming mode input)."""
+    import json as _json
+
+    import cv2
+    import numpy as np
+    vid_dir = os.path.join(workdir, 'videos')
+    os.makedirs(vid_dir, exist_ok=True)
+    with open(anno_path) as f:
+        anno = _json.load(f)
+    rng = np.random.default_rng(0)
+    for key in anno:
+        p = os.path.join(vid_dir, key[:13] + '.mp4')
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*'mp4v'), 30.0,
+                            (160, 120))
+        base = int(rng.integers(0, 200))
+        for i in range(n_frames):
+            w.write(np.full((120, 160, 3), (base + 5 * i) % 255, np.uint8))
+        w.release()
+    return vid_dir
 
 
 def main(argv=None):
@@ -105,6 +134,15 @@ def main(argv=None):
                    transformer_ff_dim=64, num_queries=10, enc_layers=1,
                    dec_layers=2, input_encoding_size=32, rnn_size=64,
                    att_hid_size=32, max_caption_len=8, msda_impl='dense')
+    if args.streaming:
+        vid_dir = _write_videos(feat_dir, anno, workdir, args.video_frames)
+        # flagship backbone on TPU; the CPU-smoke (--tiny) uses the small
+        # VideoResNet so the harness stays feasible
+        backbone, fdim = (('r3d_18', 512) if args.tiny
+                          else ('mvit_v2_s', 768))
+        cfg.update(streaming_features=1, video_folder=vid_dir,
+                   backbone_tsp=backbone, feature_dim=fdim,
+                   visual_feature_type=['tsp_mvit'])
     cfg_path = os.path.join(workdir, 'epoch_bench.yml')
     import yaml
     with open(cfg_path, 'w') as f:

@@ -29,6 +29,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--seeds', type=int, default=10)
     p.add_argument('--queries', type=int, default=100)
+    p.add_argument('--logit-scale', type=float, default=1.0,
+                   help='multiply the vocab-projection weights after init: '
+                        'random init gives near-uniform logits (ties '
+                        'everywhere — the worst case); >1 emulates a '
+                        'trained checkpoint\'s peaked logits')
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args(argv)
 
@@ -71,6 +76,11 @@ def main(argv=None):
         with jax.default_device(cpu):
             params = head_cpu.init(jax.random.PRNGKey(seed), *inputs,
                                    deterministic=True, mode='sample')
+        if args.logit_scale != 1.0:
+            params = jax.tree_util.tree_map_with_path(
+                lambda path, x: x * args.logit_scale
+                if (path and getattr(path[-1], 'key', '') == 'logit_w')
+                else x, params)
         dyn = inputs[:4] + (inputs[5],)
         seq_c, _ = run_cpu(params, *dyn)
         seq_d, _ = run_dev(params, *dyn)
@@ -78,13 +88,19 @@ def main(argv=None):
         mism = a != b
         tokens += a.size
         diverged += int(mism.sum())
-        seqs += a.shape[0] * a.shape[-1]
-        seq_div += int(mism.any(axis=1).sum())
+        # a is (B, Q, K) — a "sequence" is one query's K-token decode:
+        # reduce over the token axis
+        assert a.shape[-1] == cfg.max_caption_len and \
+            a.shape[-2] == args.queries, a.shape
+        per_query = np.any(mism, axis=-1).reshape(-1)
+        seqs += per_query.size
+        seq_div += int(per_query.sum())
         print(f'seed {seed}: {int(mism.sum())}/{a.size} tokens diverged',
               file=sys.stderr)
 
     rec = {'metric': 'greedy_decode_token_divergence',
            'device': str(dev), 'device_is_tpu': on_tpu,
+           'logit_scale': args.logit_scale,
            'seeds': args.seeds, 'queries_per_seed': args.queries,
            'tokens': tokens, 'tokens_diverged': diverged,
            'token_divergence_rate': diverged / max(tokens, 1),
