@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument('--workdir', type=str, default=None)
     p.add_argument('--step-rate', type=float, default=None,
                    help='bench.py videos/s to compare against')
+    p.add_argument('--steps-per-dispatch', type=int, default=1,
+                   help='train.py steps_per_dispatch: scan K batches per '
+                        'device dispatch — amortizes the per-dispatch '
+                        'RPC latency of a tunneled chip (a locally '
+                        'attached chip barely needs it)')
     p.add_argument('--skip-eval', action='store_true',
                    help='epoch loop only (no eval/ckpt) for isolation')
     p.add_argument('--tiny', action='store_true',
@@ -128,6 +133,7 @@ def main(argv=None):
         'save_checkpoint_every': 1000 if args.skip_eval else 1,
         'min_epoch_when_save': -1,
         'eval_tool_version': '2018',
+        'steps_per_dispatch': args.steps_per_dispatch,
     }
     if args.tiny:
         cfg.update(frame_embedding_num=24, hidden_dim=64, nheads=4,
@@ -182,6 +188,8 @@ def main(argv=None):
         'metric': 'end_to_end_epoch_throughput',
         'n_videos': args.n_videos, 'batch': args.batch,
         'epochs': args.epochs,
+        'steps_per_dispatch': args.steps_per_dispatch,
+        'streaming': bool(args.streaming),
         'dataset_gen_s': round(gen_s, 1),
         'total_wall_s': round(wall_s, 1),
         'train_videos_per_sec_by_epoch': [round(v, 2) for v in vps],

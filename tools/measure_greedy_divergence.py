@@ -29,11 +29,16 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--seeds', type=int, default=10)
     p.add_argument('--queries', type=int, default=100)
-    p.add_argument('--logit-scale', type=float, default=1.0,
-                   help='multiply the vocab-projection weights after init: '
-                        'random init gives near-uniform logits (ties '
-                        'everywhere — the worst case); >1 emulates a '
-                        'trained checkpoint\'s peaked logits')
+    p.add_argument('--logit-bias-sigma', type=float, default=0.0,
+                   help='add N(0, sigma) to the vocab-projection bias '
+                        'after init. Random init gives near-uniform '
+                        'logits (argmax ties everywhere — the worst '
+                        'case); a per-token bias widens the top-1 gap '
+                        'relative to the platform noise, emulating a '
+                        'trained checkpoint\'s peaked logits. (A '
+                        'multiplicative logit scale is provably inert '
+                        'here: it scales the tie gaps and the noise by '
+                        'the same factor.)')
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args(argv)
 
@@ -76,11 +81,14 @@ def main(argv=None):
         with jax.default_device(cpu):
             params = head_cpu.init(jax.random.PRNGKey(seed), *inputs,
                                    deterministic=True, mode='sample')
-        if args.logit_scale != 1.0:
-            params = jax.tree_util.tree_map_with_path(
-                lambda path, x: x * args.logit_scale
-                if (path and getattr(path[-1], 'key', '') == 'logit_w')
-                else x, params)
+        if args.logit_bias_sigma:
+            def bias(path, x):
+                if path and getattr(path[-1], 'key', '') == 'logit_b':
+                    noise = jax.random.normal(
+                        jax.random.PRNGKey(9000 + seed), x.shape)
+                    return x + args.logit_bias_sigma * noise
+                return x
+            params = jax.tree_util.tree_map_with_path(bias, params)
         dyn = inputs[:4] + (inputs[5],)
         seq_c, _ = run_cpu(params, *dyn)
         seq_d, _ = run_dev(params, *dyn)
@@ -100,7 +108,7 @@ def main(argv=None):
 
     rec = {'metric': 'greedy_decode_token_divergence',
            'device': str(dev), 'device_is_tpu': on_tpu,
-           'logit_scale': args.logit_scale,
+           'logit_bias_sigma': args.logit_bias_sigma,
            'seeds': args.seeds, 'queries_per_seed': args.queries,
            'tokens': tokens, 'tokens_diverged': diverged,
            'token_divergence_rate': diverged / max(tokens, 1),

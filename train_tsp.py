@@ -143,6 +143,28 @@ class HeadMeters:
         self.loss_sums[-1] += float(total_loss)
         self.loss_n += 1
 
+    def sync(self):
+        """Cross-host meter allreduce (the reference's
+        ``metric_logger.synchronize_between_processes``,
+        train/train.py:113).  sync_metrics averages; accuracies and
+        per-batch losses are ratios of equally-scaled sums, so the
+        averaged meters yield the same global values.  Identity when
+        single-process."""
+        from dvc_tpu.parallel.multihost import sync_metrics
+        flat = {'loss_n': float(self.loss_n)}
+        for i in range(len(self.cols)):
+            flat[f'correct{i}'] = float(self.correct[i])
+            flat[f'count{i}'] = float(self.counts[i])
+            flat[f'loss{i}'] = float(self.loss_sums[i])
+        flat['loss_total'] = float(self.loss_sums[-1])
+        out = sync_metrics(flat)
+        self.loss_n = out['loss_n']
+        for i in range(len(self.cols)):
+            self.correct[i] = out[f'correct{i}']
+            self.counts[i] = out[f'count{i}']
+            self.loss_sums[i] = out[f'loss{i}']
+        self.loss_sums[-1] = out['loss_total']
+
     def accuracy(self, i):
         return 100.0 * self.correct[i] / max(self.counts[i], 1)
 
@@ -276,6 +298,7 @@ def main():
                           [np.asarray(batch[f'label{k}'])
                            for k in range(n_heads)],
                           [float(l) for l in losses], float(total))
+        meters.sync()
         line = meters.results_line(epoch)
         print(line)
         with open(os.path.join(args.output_dir, 'results.txt'), 'a') as f:
