@@ -60,6 +60,12 @@ def parse_args(argv=None):
                         'backbone at load time) instead of .npy features')
     p.add_argument('--video-frames', type=int, default=96,
                    help='streaming mode: raw frames per synthetic video')
+    p.add_argument('--loader-only', action='store_true',
+                   help='measure the HOST input pipeline alone (feature '
+                        'read + native collate, no device): the number '
+                        'that decides whether the pipeline can feed the '
+                        'compiled step on locally attached chips, free '
+                        'of tunnel dispatch latency')
     p.add_argument('--out', type=str, default=None)
     return p.parse_args(argv)
 
@@ -153,6 +159,40 @@ def main(argv=None):
     import yaml
     with open(cfg_path, 'w') as f:
         yaml.safe_dump(cfg, f)
+
+    if args.loader_only:
+        from dvc_tpu.data.dataset import BatchLoader, DenseCaptionDataset
+        from dvc_tpu.utils.config import load_config
+        opt = load_config(**{k: v for k, v in cfg.items()
+                             if k not in ('id', 'save_dir')})
+        ds = DenseCaptionDataset(anno, [feat_dir], vocab_path,
+                                 is_training=True, opt=opt, seed=0)
+        loader = BatchLoader(ds, args.batch, shuffle=True, opt=opt, seed=0)
+        timings = []
+        for ep in range(args.epochs):
+            loader.set_epoch(ep)
+            t0 = time.time()
+            nb = 0
+            for batch, _ in loader:
+                nb += 1
+            timings.append((time.time() - t0, nb))
+        rec = {'metric': 'host_input_pipeline_throughput',
+               'n_videos': args.n_videos, 'batch': args.batch,
+               'ms_per_batch_by_epoch':
+                   [round(t / max(n, 1) * 1e3, 2) for t, n in timings],
+               'videos_per_sec_by_epoch':
+                   [round(n * args.batch / max(t, 1e-9), 2)
+                    for t, n in timings]}
+        best = max(r for r in rec['videos_per_sec_by_epoch'])
+        rec['host_videos_per_sec'] = best
+        if args.step_rate:
+            rec['compiled_step_videos_per_sec'] = args.step_rate
+            rec['host_headroom_over_step'] = round(best / args.step_rate, 3)
+        print(json.dumps(rec))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(rec, f, indent=1)
+        return rec
 
     import runpy
     old_argv = sys.argv
