@@ -34,14 +34,29 @@ class DenseCaptioner:
                 raise FileNotFoundError(f'no info.json in {run_folder}')
             opt = load_config(**info[which]['opt'])
         self.opt = opt
-        self.trainer = Trainer(opt)
         ck = load_checkpoint(os.path.join(run_folder, f'model-{which}.ckpt'))
         self.params = ck['params']
+        # fusion (NewModel) runs carry the attention-block params; build
+        # the matching model so newTrain.py checkpoints serve directly
+        self.is_fusion = 'visual_sa' in self.params.get('params', {})
+        if self.is_fusion:
+            from .models import PDVCConfig
+            from .models.fusion import FusionPDVC
+            heads = int(getattr(opt, 'fusion_heads', 32) or 32)
+            while opt.feature_dim % heads:
+                heads //= 2
+            model = FusionPDVC(
+                PDVCConfig.from_opt(opt), fusion_dim=opt.feature_dim,
+                fusion_heads=heads,
+                fusion_dtype=getattr(opt, 'fusion_dtype', 'float32'))
+            self.trainer = Trainer(opt, model=model)
+        else:
+            self.trainer = Trainer(opt)
         self._state = None
         self.translator = Translator(dict_file or opt.dict_file,
                                      opt.vocab_size)
 
-    def _make_batch(self, feats_list, durations):
+    def _make_batch(self, feats_list, durations, sound_list=None):
         opt = self.opt
         T, G, Lc = (opt.frame_embedding_num, opt.gt_proposal_sample_num,
                     opt.max_caption_len)
@@ -57,7 +72,7 @@ class DenseCaptioner:
             video[b, :L] = f[:L]
             vmask[b, :L] = True
             vlen[b] = [L, durations[b], 1]
-        return {
+        batch = {
             'video_tensor': video, 'video_mask': vmask, 'video_length': vlen,
             'gt_boxes': np.zeros((B, G, 2), np.float32),
             'gt_boxes_mask': np.zeros((B, G), bool),
@@ -65,15 +80,33 @@ class DenseCaptioner:
             'cap_tensor': np.zeros((B, G, Lc), np.int32),
             'cap_mask': np.zeros((B, G, Lc), bool),
         }
+        if self.is_fusion:
+            # HuBERT clip features aligned with the visual stream; zeros
+            # when audio is unavailable (reference NewModel.py:111-114)
+            sound = np.zeros((B, T, C), np.float32)
+            for b, s in enumerate(sound_list or []):
+                if s is None:
+                    continue
+                s = np.asarray(s, np.float32)
+                if self.opt.data_rescale and s.shape[0] != T:
+                    s = resize_feature(s, T, self.opt.sample_method)
+                L = min(len(s), T)
+                sound[b, :L] = s[:L]
+            batch['sound_tensor'] = sound
+        return batch
 
-    def caption_features(self, feats, duration: float, top_k: int | None = None):
-        """feats: (T, feature_dim) clip features of one video."""
+    def caption_features(self, feats, duration: float, top_k: int | None = None,
+                         sound=None):
+        """feats: (T, feature_dim) clip features of one video; ``sound``:
+        optional (T, feature_dim) HuBERT features for fusion runs."""
         return self.caption_batch([np.asarray(feats)], [duration],
-                                  top_k=top_k)[0]
+                                  top_k=top_k,
+                                  sound_list=[sound])[0]
 
-    def caption_batch(self, feats_list, durations, top_k: int | None = None):
+    def caption_batch(self, feats_list, durations, top_k: int | None = None,
+                      sound_list=None):
         import jax.numpy as jnp
-        batch = self._make_batch(feats_list, durations)
+        batch = self._make_batch(feats_list, durations, sound_list)
         if self._state is None:
             self._state = {'params': self.params, 'opt_state': None,
                            'step': 0}

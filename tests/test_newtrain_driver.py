@@ -49,3 +49,17 @@ def test_newtrain_driver(tmp_path):
     run_dir = tmp_path / 'save' / 'fusion_run'
     assert (run_dir / 'model-last.ckpt').exists()
     assert (run_dir / 'info.json').exists()
+
+    # a newTrain run serves directly: DenseCaptioner detects the fusion
+    # params and accepts (or zero-fills) per-video sound features
+    from dvc_tpu.serve import DenseCaptioner
+    dc = DenseCaptioner(str(run_dir), which='last')
+    assert dc.is_fusion
+    feats16 = rng.standard_normal((30, 16)).astype(np.float32)
+    sound16 = rng.standard_normal((30, 16)).astype(np.float32)
+    with_sound = dc.caption_features(feats16, duration=45.0, sound=sound16)
+    no_sound = dc.caption_features(feats16, duration=45.0)
+    for events in (with_sound, no_sound):
+        for e in events:
+            assert 0 <= e['timestamp'][0] <= e['timestamp'][1] <= 45.0 + 1e-3
+            assert isinstance(e['sentence'], str)
