@@ -47,8 +47,11 @@ _PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
           # -LRB-/`` family before the reference's post-filter drops them
           "(", ")", "[", "]", "{", "}", '"'}
 
-# PTB clitic splitting: don't -> do n't, it's -> it 's, we'll -> we 'll ...
-_CLITIC_SPLIT = re.compile(r"(?<=[a-z])(n't|'s|'re|'ve|'ll|'d|'m)(?![a-z0-9])")
+# PTB clitic splitting: don't -> do n't, it's -> it 's, we'll -> we 'll;
+# the lookbehind includes digits so possessive/decade forms split too
+# (CoreNLP: "80's" -> "80 's")
+_CLITIC_SPLIT = re.compile(
+    r"(?<=[a-z0-9])(n't|'s|'re|'ve|'ll|'d|'m)(?![a-z0-9])")
 
 _TOKEN_RE = re.compile(
     r"n't|'(?:s|re|ve|ll|d|m)(?![a-z0-9])"  # split-off clitics
@@ -117,9 +120,11 @@ def tokenize_dict(caps: dict) -> dict:
         flat = [c['caption'] for v in caps.values() for c in v]
         try:
             toks = _ptb_jar_tokenize(flat, jar)
-            out = {}
+            # seed every key: ids with zero captions must map to [] like
+            # the python path (SODA indexes preds[vid] unconditionally)
+            out = {k: [] for k in caps}
             for k, t in zip(keys, toks):
-                out.setdefault(k, []).append(t)
+                out[k].append(t)
             return out
         except Exception as e:
             print(f'DVC_PTB_JAR tokenization failed ({e!r}); falling back '

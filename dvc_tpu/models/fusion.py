@@ -42,7 +42,8 @@ class AttentionBlock(nn.Module):
         add = kv
         x = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=dt,
-            name='mha')(query, kv, kv, deterministic=True)
+            name='mha')(query, inputs_k=kv, inputs_v=kv,
+                        deterministic=True)
         x = nn.LayerNorm(name='ln')(x.astype(jnp.float32))
         x = x + add
         add = x
@@ -50,6 +51,21 @@ class AttentionBlock(nn.Module):
             nn.Dense(self.dim, dtype=dt,
                      name='mlp_fc')(x).astype(jnp.float32))
         return x + add
+
+
+def make_fusion_model(opt):
+    """Build the FusionPDVC for an opt — THE construction recipe shared
+    by training (newTrain), serving, and the driver compile checks: the
+    32-head default is halved until it divides feature_dim (reference
+    NewModel.py:41-51 hard-codes 32 heads over 768-d features)."""
+    from .pdvc import PDVCConfig
+    heads = int(getattr(opt, 'fusion_heads', 32) or 32)
+    while opt.feature_dim % heads:
+        heads //= 2
+    return FusionPDVC(
+        PDVCConfig.from_opt(opt), fusion_dim=opt.feature_dim,
+        fusion_heads=heads,
+        fusion_dtype=getattr(opt, 'fusion_dtype', 'float32'))
 
 
 class FusionPDVC(nn.Module):

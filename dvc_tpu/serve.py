@@ -40,16 +40,8 @@ class DenseCaptioner:
         # the matching model so newTrain.py checkpoints serve directly
         self.is_fusion = 'visual_sa' in self.params.get('params', {})
         if self.is_fusion:
-            from .models import PDVCConfig
-            from .models.fusion import FusionPDVC
-            heads = int(getattr(opt, 'fusion_heads', 32) or 32)
-            while opt.feature_dim % heads:
-                heads //= 2
-            model = FusionPDVC(
-                PDVCConfig.from_opt(opt), fusion_dim=opt.feature_dim,
-                fusion_heads=heads,
-                fusion_dtype=getattr(opt, 'fusion_dtype', 'float32'))
-            self.trainer = Trainer(opt, model=model)
+            from .models.fusion import make_fusion_model
+            self.trainer = Trainer(opt, model=make_fusion_model(opt))
         else:
             self.trainer = Trainer(opt)
         self._state = None

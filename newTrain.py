@@ -20,16 +20,9 @@ import numpy as np
 
 
 def make_fusion_trainer(opt, mesh=None):
-    from dvc_tpu.models import PDVCConfig
-    from dvc_tpu.models.fusion import FusionPDVC
+    from dvc_tpu.models.fusion import make_fusion_model
     from dvc_tpu.train.trainer import Trainer
-    cfg = PDVCConfig.from_opt(opt)
-    heads = int(getattr(opt, 'fusion_heads', 32) or 32)
-    while opt.feature_dim % heads:   # keep the 32-head default divisible
-        heads //= 2
-    model = FusionPDVC(cfg, fusion_dim=opt.feature_dim, fusion_heads=heads,
-                       fusion_dtype=getattr(opt, 'fusion_dtype', 'float32'))
-    return Trainer(opt, mesh=mesh, model=model)
+    return Trainer(opt, mesh=mesh, model=make_fusion_model(opt))
 
 
 def main(opt):

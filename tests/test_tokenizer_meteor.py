@@ -51,6 +51,9 @@ from dvc_tpu.eval import scorers as S
     ("use salt + sugar", "use salt + sugar"),
     ("rate it 5*", "rate it 5 *"),
     ("a=b here", "a = b here"),
+    # digit-attached possessive splits like the letter case
+    ("the 80's music", "the 80 's music"),
+    ("the dish's 5's rating", "the dish 's 5 's rating"),
     # hyphenated compounds stay whole
     ("pre-heat the oven to 350", "pre-heat the oven to 350"),
     ("a twenty-one year-old recipe", "a twenty-one year-old recipe"),
@@ -130,6 +133,19 @@ def test_ptb_jar_postfilter_and_dispatch(tmp_path, monkeypatch):
     monkeypatch.delenv('DVC_PTB_JAR')
     out2 = S.tokenize_dict({'v1': [{'caption': "Don't stop."}]})
     assert out2 == out
+
+
+def test_ptb_jar_mode_preserves_empty_caption_keys(tmp_path, monkeypatch):
+    """Videos with zero predicted events must keep their [] entry in jar
+    mode (SODA indexes preds[vid] unconditionally)."""
+    fake = tmp_path / 'stanford-corenlp-3.4.1.jar'
+    fake.write_bytes(b'x')
+    monkeypatch.setenv('DVC_PTB_JAR', str(fake))
+    monkeypatch.setattr(S, '_ptb_jar_tokenize',
+                        lambda caps, jar: [c.lower() for c in caps])
+    out = S.tokenize_dict({'v_empty': [],
+                           'v_one': [{'caption': 'Stir THE pot'}]})
+    assert out == {'v_empty': [], 'v_one': ['stir the pot']}
 
 
 def test_meteor_paraphrase_table_raises_score(tmp_path, monkeypatch):

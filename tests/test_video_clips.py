@@ -176,6 +176,30 @@ def test_decode_clip_random_crop(video):
     np.testing.assert_array_equal(c, d)
 
 
+def test_segment_rows_overlapping_events():
+    """Nested/overlapping events (common in ActivityNet) must not rewind
+    the background cursor: no background row may cover a foreground
+    span."""
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        'mtg', os.path.join(root, 'tools', 'make_tsp_groundtruth.py'))
+    mtg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mtg)
+    rows = mtg.segment_rows('v.mp4', 30.0, 120.0,
+                            [(0.0, 100.0), (5.0, 10.0)], [1, 2])
+    fg = [(r['t-start'], r['t-end']) for r in rows
+          if r['temporal-region-label'] == 1]
+    bg = [(r['t-start'], r['t-end']) for r in rows
+          if r['temporal-region-label'] == 0]
+    assert fg == [(0.0, 100.0), (5.0, 10.0)]
+    # the only background gap is after the long event
+    assert bg == [(101.0, 120.0)]
+    for b0, b1 in bg:
+        for f0, f1 in fg:
+            assert b1 <= f0 or b0 >= f1, (bg, fg)
+
+
 def test_make_tsp_groundtruth_tool(video, tmp_path):
     import json as _json
     import subprocess

@@ -70,9 +70,10 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _write_videos(feat_dir, anno_path, workdir, n_frames):
-    """Replace the .npy features with synthetic raw videos matching the
-    annotation keys (streaming mode input)."""
+def _write_videos(anno_path, workdir, n_frames):
+    """Synthesize raw videos matching the annotation keys (streaming-mode
+    input; the dataset's .npy features stay on disk but are not read —
+    --streaming_features decodes these videos instead)."""
     import json as _json
 
     import cv2
@@ -147,7 +148,7 @@ def main(argv=None):
                    dec_layers=2, input_encoding_size=32, rnn_size=64,
                    att_hid_size=32, max_caption_len=8, msda_impl='dense')
     if args.streaming:
-        vid_dir = _write_videos(feat_dir, anno, workdir, args.video_frames)
+        vid_dir = _write_videos(anno, workdir, args.video_frames)
         # flagship backbone on TPU; the CPU-smoke (--tiny) uses the small
         # VideoResNet so the harness stays feasible
         backbone, fdim = (('r3d_18', 512) if args.tiny

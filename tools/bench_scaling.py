@@ -154,7 +154,10 @@ def main(argv=None):
                          round(B / step_ms * 1e3 / n, 2)})
         print(json.dumps(rows[-1]), flush=True)
 
-    base = rows[0]
+    # baseline = the 1-chip point when the sweep contains one; otherwise
+    # the smallest sweep point, named explicitly so a --chips 2 4 8 run
+    # cannot silently pass off 2-chip-rebased efficiencies as absolute
+    base = next((r for r in rows if r['chips'] == 1), rows[0])
     for r in rows:
         r['scaling_efficiency'] = round(
             r['videos_per_sec_per_chip'] /
@@ -162,6 +165,7 @@ def main(argv=None):
         r['psum_overhead_ms'] = round(r['step_ms'] - base['step_ms'], 3)
     summary = {'metric': 'dp_scaling_sweep', 'model': args.model,
                'virtual': bool(args.virtual),
+               'baseline_chips': base['chips'],
                'platform': jax.default_backend(), 'rows': rows}
     print(json.dumps(summary))
     if args.out:

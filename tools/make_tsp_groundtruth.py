@@ -47,8 +47,14 @@ def segment_rows(path, fps, duration, timestamps, labels,
             rows.append({'filename': path, 'fps': fps, 't-start': cumulate,
                          't-end': t0 - 1, 'video-duration': duration,
                          'action-label': '', 'temporal-region-label': 0})
-        cumulate = t1 + 1
+        # max() so nested/overlapping events (common in ActivityNet)
+        # cannot rewind the cursor and emit background rows that cover an
+        # annotated foreground span (the reference iterates in annotation
+        # order and has the same rewind bug; fixed here)
+        cumulate = max(cumulate, t1 + 1)
     if duration - 1 - cumulate >= min_background_sec:
+        # the tail row deliberately ends at `duration`, not duration-1 —
+        # byte-for-byte the reference's convention (divide_train.py:85-86)
         rows.append({'filename': path, 'fps': fps, 't-start': cumulate,
                      't-end': duration, 'video-duration': duration,
                      'action-label': '', 'temporal-region-label': 0})

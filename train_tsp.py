@@ -194,6 +194,9 @@ def main():
     from dvc_tpu.utils.config import load_config
 
     enable_compilation_cache()
+    # single-writer guard for results.txt / metrics.jsonl / checkpoints
+    # in multi-host runs (reference is_main_process, common/utils.py)
+    is_main = jax.process_index() == 0
     os.makedirs(args.output_dir, exist_ok=True)
     mappings = (load_label_mappings(args.label_mapping_jsons)
                 if args.label_mapping_jsons else None)
@@ -301,11 +304,17 @@ def main():
         meters.sync()
         line = meters.results_line(epoch)
         print(line)
-        with open(os.path.join(args.output_dir, 'results.txt'), 'a') as f:
-            f.write(line + '\n')
+        if is_main:
+            # write_to_file_on_master (reference train.py:44-46)
+            with open(os.path.join(args.output_dir, 'results.txt'),
+                      'a') as f:
+                f.write(line + '\n')
         return meters.avg_accuracy()
 
     def save_ckpt(state, name, epoch, it, best_acc):
+        if not is_main:
+            # save_on_master (reference common/utils.py): one writer
+            return
         payload = {
             'variables': jax.tree_util.tree_map(np.asarray,
                                                 state['variables']),
@@ -375,8 +384,9 @@ def main():
         save_ckpt(state, 'tsp-last.ckpt', epoch, it, best_acc)
         rec = {'epoch': epoch, 'train': avg, 'clips_per_sec': round(cps, 2)}
         if args.train_only_one_epoch:
-            with open(metrics_path, 'a') as f:
-                f.write(json.dumps(rec) + '\n')
+            if is_main:
+                with open(metrics_path, 'a') as f:
+                    f.write(json.dumps(rec) + '\n')
             break
         if valid_segments is not None:
             acc = evaluate(state, epoch)
@@ -387,8 +397,9 @@ def main():
                 print(f'new best avg accuracy {best_acc:.3f} -> tsp-best.ckpt')
             # refresh last so a resume carries this epoch's best_acc
             save_ckpt(state, 'tsp-last.ckpt', epoch, it, best_acc)
-        with open(metrics_path, 'a') as f:
-            f.write(json.dumps(rec) + '\n')
+        if is_main:
+            with open(metrics_path, 'a') as f:
+                f.write(json.dumps(rec) + '\n')
     print('done')
 
 
